@@ -1,0 +1,195 @@
+"""Transition-probability kernels P(t) = expm(Q t).
+
+TPU-first design: one *batched* spectral kernel computes P for all branches
+and site classes in a single einsum after a single symmetric
+eigendecomposition (replacing the reference's per-branch `PMatUVRoot`,
+src/tools.c:516, driven by `eigenQREV`, src/tools.c:5023).  A custom JVP
+implements the Daleckii-Krein (divided-difference) derivative of the matrix
+exponential in the eigenbasis, which stays exact when eigenvalues are
+degenerate (JC69/K80 have repeated eigenvalues, where autodiff through
+``eigh`` would produce NaNs).
+
+A fused closed-form TN93-family kernel covers JC69/K80/F81/F84/HKY85/T92/
+TN93 (reference closed forms: src/tools.c:566-666) without any
+decomposition; all of those models are TN93 special cases.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# generic reversible spectral kernel
+# ---------------------------------------------------------------------------
+
+
+def symmetrize(Q: jnp.ndarray, pi: jnp.ndarray) -> jnp.ndarray:
+    """S = D^{1/2} Q D^{-1/2}, symmetric for reversible Q."""
+    sqp = jnp.sqrt(pi)
+    S = Q * sqp[..., :, None] / sqp[..., None, :]
+    return 0.5 * (S + jnp.swapaxes(S, -1, -2))
+
+
+def _phi(mu_k: jnp.ndarray, mu_l: jnp.ndarray) -> jnp.ndarray:
+    """Divided difference (e^{mu_k} - e^{mu_l}) / (mu_k - mu_l), with the
+    t*e^{mu} limit at coincident values, computed stably via expm1."""
+    d = mu_k - mu_l
+    small = jnp.abs(d) < 1e-10
+    d_safe = jnp.where(small, 1.0, d)
+    out = jnp.exp(mu_l) * jnp.expm1(d_safe) / d_safe
+    lim = jnp.exp(0.5 * (mu_k + mu_l))
+    return jnp.where(small, lim, out)
+
+
+@jax.custom_jvp
+def pmat_rev(Q: jnp.ndarray, pi: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """P(t) for a reversible rate matrix.
+
+    Q: [n, n] reversible w.r.t. pi; pi: [n]; t: [...] any batch shape.
+    Returns [..., n, n].  P = D^{-1/2} U exp(Lam t) U^T D^{1/2}.
+    """
+    n = Q.shape[-1]
+    sqp = jnp.sqrt(pi)
+    S = symmetrize(Q, pi)
+    lam, U = jnp.linalg.eigh(S)
+    L = U / sqp[:, None]              # [n, k]
+    R = U.T * sqp[None, :]            # [k, n]
+    e = jnp.exp(t[..., None] * lam)   # [..., k]
+    P = jnp.einsum("ik,...k,kj->...ij", L, e, R)
+    return jnp.maximum(P, 0.0)
+
+
+@pmat_rev.defjvp
+def _pmat_rev_jvp(primals, tangents):
+    Q, pi, t = primals
+    dQ, dpi, dt = tangents
+    n = Q.shape[-1]
+    sqp = jnp.sqrt(pi)
+    S = symmetrize(Q, pi)
+    lam, U = jnp.linalg.eigh(S)
+    L = U / sqp[:, None]
+    R = U.T * sqp[None, :]
+    mu = t[..., None] * lam                       # [..., k]
+    e = jnp.exp(mu)
+    P = jnp.einsum("ik,...k,kj->...ij", L, e, R)
+
+    # dS from dQ and dpi:  S = D^{1/2} Q D^{-1/2}
+    dQ = jnp.zeros_like(Q) if isinstance(dQ, jax.custom_derivatives.SymbolicZero) else dQ
+    dpi = jnp.zeros_like(pi) if isinstance(dpi, jax.custom_derivatives.SymbolicZero) else dpi
+    dt = jnp.zeros_like(t) if isinstance(dt, jax.custom_derivatives.SymbolicZero) else dt
+    dsqp = dpi / (2.0 * sqp)
+    dS = (dQ * sqp[:, None] / sqp[None, :]
+          + Q * dsqp[:, None] / sqp[None, :]
+          - Q * sqp[:, None] * dsqp[None, :] / (sqp[None, :] ** 2))
+    dS = 0.5 * (dS + dS.T)
+
+    # tangent of expm(S t) in the eigenbasis (Daleckii-Krein)
+    G = U.T @ dS @ U                              # [k, l]
+    # dM = t*dS + dt*S  ->  eigen-coords: t*G + dt*diag(lam)
+    Phi = _phi(mu[..., :, None], mu[..., None, :])        # [..., k, l]
+    dM_eig = t[..., None, None] * G + dt[..., None, None] * jnp.diag(lam)
+    dE = dM_eig * Phi                              # [..., k, l]
+    dP_core = jnp.einsum("ik,...kl,lj->...ij", L, dE, R)
+
+    # contributions from d(D^{-1/2}) and d(D^{1/2}):
+    # P = D^{-1/2} E' D^{1/2} with E' = U e U^T
+    dinvsqp = -dsqp / pi                           # d(1/sqrt(pi))
+    Ep = jnp.einsum("ik,...k,jk->...ij", U, e, U)
+    dP_pi = (dinvsqp[:, None] * sqp[None, :] * Ep
+             + (1.0 / sqp)[:, None] * dsqp[None, :] * Ep)
+    return P, dP_core + dP_pi
+
+
+# ---------------------------------------------------------------------------
+# closed-form TN93 family (covers JC69, K80, F81, F84, HKY85, T92, TN93)
+# ---------------------------------------------------------------------------
+
+def tn93_rates(pi: jnp.ndarray, a1: jnp.ndarray, a2: jnp.ndarray, b: jnp.ndarray):
+    """Normalize (alpha1, alpha2, beta) so the mean rate is 1."""
+    pT, pC, pA, pG = pi[0], pi[1], pi[2], pi[3]
+    pY, pR = pT + pC, pA + pG
+    mr = 2.0 * (pT * pC * a1 + pA * pG * a2 + pY * pR * b)
+    return a1 / mr, a2 / mr, b / mr
+
+
+def pmat_tn93(pi: jnp.ndarray, a1, a2, b, t: jnp.ndarray,
+              normalize: bool = True) -> jnp.ndarray:
+    """Closed-form TN93 transition matrix, batched over t.
+
+    States in T,C,A,G order.  alpha1: T<->C rate, alpha2: A<->G rate,
+    beta: transversion rate (all before Q-normalization).
+    Returns [..., 4, 4].
+    """
+    pT, pC, pA, pG = pi[0], pi[1], pi[2], pi[3]
+    pY, pR = pT + pC, pA + pG
+    if normalize:
+        a1, a2, b = tn93_rates(pi, a1, a2, b)
+    e2 = jnp.exp(-b * t)                                   # [...]
+    e3 = jnp.exp(-(pY * a1 + pR * b) * t)
+    e4 = jnp.exp(-(pR * a2 + pY * b) * t)
+
+    one = jnp.ones_like(e2)
+
+    TT = pT * one + pT * pR / pY * e2 + pC / pY * e3
+    TC = pC * one + pC * pR / pY * e2 - pC / pY * e3
+    TA = pA * (one - e2)
+    TG = pG * (one - e2)
+    CT = pT * one + pT * pR / pY * e2 - pT / pY * e3
+    CC = pC * one + pC * pR / pY * e2 + pT / pY * e3
+    CA, CG = TA, TG
+    AA = pA * one + pA * pY / pR * e2 + pG / pR * e4
+    AG = pG * one + pG * pY / pR * e2 - pG / pR * e4
+    AT = pT * (one - e2)
+    AC = pC * (one - e2)
+    GA = pA * one + pA * pY / pR * e2 - pA / pR * e4
+    GG = pG * one + pG * pY / pR * e2 + pA / pR * e4
+    GT, GC = AT, AC
+
+    P = jnp.stack([
+        jnp.stack([TT, TC, TA, TG], axis=-1),
+        jnp.stack([CT, CC, CA, CG], axis=-1),
+        jnp.stack([AT, AC, AA, AG], axis=-1),
+        jnp.stack([GT, GC, GA, GG], axis=-1),
+    ], axis=-2)
+    return P
+
+
+def tn93_alphas(model: str, pi: jnp.ndarray, kappa):
+    """Map a named model + reference kappa convention onto TN93
+    (alpha1, alpha2, beta) with beta = 1 (pre-normalization).
+
+    Conventions (reference: src/tools.c:566-666 and baseml SetParameters):
+      JC69: kappa ignored, equal rates.     K80: kappa = alpha/beta.
+      F81: all rates equal.                 HKY85: kappa = alpha/beta.
+      F84: alpha1 = 1 + kappa/piY, alpha2 = 1 + kappa/piR.
+      T92: HKY85 with pi = (1-gc, gc, 1-gc, gc)/2.
+      TN93: kappa = (kappa1, kappa2).
+    """
+    pY = pi[0] + pi[1]
+    pR = pi[2] + pi[3]
+    one = jnp.asarray(1.0, dtype=pi.dtype)
+    if model in ("JC69", "F81"):
+        return one, one, one
+    if model in ("K80", "HKY85", "T92"):
+        k = kappa[0] if hasattr(kappa, "__len__") else kappa
+        return k, k, one
+    if model == "F84":
+        k = kappa[0] if hasattr(kappa, "__len__") else kappa
+        return 1.0 + k / pY, 1.0 + k / pR, one
+    if model == "TN93":
+        return kappa[0], kappa[1], one
+    raise ValueError(f"not a TN93-family model: {model}")
+
+
+# ---------------------------------------------------------------------------
+# non-reversible: scaling-and-squaring expm (UNREST, UNRESTu)
+# ---------------------------------------------------------------------------
+
+def pmat_expm(Q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """P(t) for a general (non-reversible) Q via expm; batched over t
+    (reference: QUNREST + matexp, src/treesub.c:2543, src/tools.c:4879)."""
+    def one(ti):
+        return jax.scipy.linalg.expm(Q * ti)
+    flat = t.reshape(-1)
+    P = jax.vmap(one)(flat)
+    return P.reshape(t.shape + Q.shape)

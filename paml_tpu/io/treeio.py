@@ -1,0 +1,236 @@
+"""Newick tree reading/writing with the reference's annotation grammar.
+
+Covers the capabilities of `ReadTreeN`/`OutTreeN` (src/treesub.c:3048,3283):
+branch lengths (``:x``), branch/omega labels (``#i``), clade labels
+(``$i``), node ages (``@x``), and quoted node annotations
+(``'...'`` / ``[...]``) holding fossil-calibration densities parsed by
+`ProcessNodeAnnotation` (src/treesub.c:8653).  Taxa may be given by name or
+by 1-based index into the alignment.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TreeNode:
+    name: str = ""
+    children: list["TreeNode"] = field(default_factory=list)
+    blen: float | None = None
+    label: int | None = None        # '#i' branch label (omega/rate class)
+    clade_label: int | None = None  # '$i' clade label (applies to whole subtree)
+    age: float | None = None        # '@x' node age
+    annotation: str | None = None   # raw "'...'" or '[...]' annotation text
+    index: int = -1                 # assigned by index_tree
+
+    @property
+    def is_tip(self) -> bool:
+        return not self.children
+
+    def walk_post(self):
+        for c in self.children:
+            yield from c.walk_post()
+        yield self
+
+    def walk_pre(self):
+        yield self
+        for c in self.children:
+            yield from c.walk_pre()
+
+
+def _parse_suffix(node: TreeNode, s: str, i: int) -> int:
+    """Parse the trailing annotations after a node: labels, age, blen."""
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+        elif c == "'" or c == '"':
+            j = s.index(c, i + 1)
+            node.annotation = s[i + 1:j]
+            i = j + 1
+        elif c == "[":
+            j = s.index("]", i + 1)
+            ann = s[i + 1:j]
+            # '[&label]' style or calibration text
+            if node.annotation is None:
+                node.annotation = ann
+            i = j + 1
+        elif c == "#":
+            m = re.match(r"#\s*(\d+)", s[i:])
+            node.label = int(m.group(1))
+            i += m.end()
+        elif c == "$":
+            m = re.match(r"\$\s*(\d+)", s[i:])
+            node.clade_label = int(m.group(1))
+            i += m.end()
+        elif c == "@":
+            m = re.match(r"@\s*([0-9.eE+-]+)", s[i:])
+            node.age = float(m.group(1))
+            i += m.end()
+        elif c == ":":
+            m = re.match(r":\s*([0-9.eE+-]+)", s[i:])
+            node.blen = float(m.group(1))
+            i += m.end()
+        elif c in (">", "<", "="):
+            # bare calibration like '>0.06<0.08' attached without quotes
+            m = re.match(r"[><=]\s*[0-9.eE+-]+", s[i:])
+            node.annotation = (node.annotation or "") + m.group(0)
+            i += m.end()
+        else:
+            break
+    return i
+
+
+def parse_newick(s: str) -> TreeNode:
+    s = s.strip().rstrip(";")
+    pos = 0
+
+    def parse_node() -> TreeNode:
+        nonlocal pos
+        node = TreeNode()
+        while pos < len(s) and s[pos].isspace():
+            pos += 1
+        if s[pos] == "(":
+            pos += 1
+            while True:
+                node.children.append(parse_node())
+                while pos < len(s) and s[pos].isspace():
+                    pos += 1
+                if s[pos] == ",":
+                    pos += 1
+                elif s[pos] == ")":
+                    pos += 1
+                    break
+                else:
+                    raise ValueError(f"newick parse error at {pos}: {s[pos:pos + 30]!r}")
+            # optional internal node name
+            m = re.match(r"\s*([A-Za-z0-9_.|/-]+)", s[pos:])
+            if m and not re.match(r"\s*[:#$@'\[]", s[pos:]):
+                node.name = m.group(1)
+                pos += m.end()
+        else:
+            if s[pos] == "'" or s[pos] == '"':
+                q = s[pos]
+                j = s.index(q, pos + 1)
+                node.name = s[pos + 1:j]
+                pos = j + 1
+            else:
+                m = re.match(r"[^\s,():;#$@\[\]]+", s[pos:])
+                if not m:
+                    raise ValueError(f"newick parse error at {pos}")
+                node.name = m.group(0)
+                pos += m.end()
+        pos = _parse_suffix(node, s, pos)
+        return node
+
+    root = parse_node()
+    return root
+
+
+def read_trees(path: str, names: list[str] | None = None) -> list[TreeNode]:
+    """Read a PAML tree file: optional 'ns ntree' header, then ';'-terminated
+    trees.  Numeric taxon labels are resolved to names via `names`."""
+    with open(path) as f:
+        text = f.read()
+    # strip [...] comments that span the whole file (but keep per-node ones:
+    # handled inline by the parser) -- PAML treats '[...]' before trees as
+    # comments.
+    chunks = [c for c in text.split(";")]
+    trees: list[TreeNode] = []
+    first = True
+    for chunk in chunks:
+        c = chunk.strip()
+        if not c:
+            continue
+        if first:
+            # drop an optional header line of integers ('ns ntree')
+            lines = c.splitlines()
+            while lines and re.fullmatch(r"[\s\d]*", lines[0]) and "(" not in lines[0]:
+                lines = lines[1:]
+            c = "\n".join(lines).strip()
+            first = False
+            if not c:
+                continue
+        if "(" not in c:
+            continue
+        c = c[c.index("("):] if not c.startswith("(") else c
+        tree = parse_newick(c)
+        if names is not None:
+            _resolve_names(tree, names)
+        trees.append(tree)
+    return trees
+
+
+def _resolve_names(tree: TreeNode, names: list[str]) -> None:
+    for node in tree.walk_post():
+        if node.is_tip:
+            if node.name in names:
+                continue
+            if re.fullmatch(r"\d+", node.name):
+                idx = int(node.name) - 1
+                if 0 <= idx < len(names):
+                    node.name = names[idx]
+                    continue
+            # tolerate truncated names
+            matches = [n for n in names if n.startswith(node.name)]
+            if len(matches) == 1:
+                node.name = matches[0]
+            else:
+                raise ValueError(f"taxon {node.name!r} not in alignment")
+
+
+def write_newick(root: TreeNode, branch_lengths: bool = True,
+                 labels: bool = False, ages: bool = False,
+                 names: bool = True, digits: int = 6) -> str:
+    def fmt(node: TreeNode) -> str:
+        if node.is_tip:
+            s = node.name if names else str(node.index + 1)
+        else:
+            s = "(" + ", ".join(fmt(c) for c in node.children) + ")"
+            if node.name and names:
+                s += node.name
+        if labels and node.label is not None:
+            s += f" #{node.label}"
+        if ages and node.age is not None:
+            s += f" @{node.age:.{digits}f}"
+        if branch_lengths and node.blen is not None:
+            s += f": {node.blen:.{digits}f}"
+        return s
+
+    return fmt(root) + ";"
+
+
+# --- calibration annotation grammar (reference: src/treesub.c:8653) -------
+
+_DIST_RE = re.compile(r"([A-Za-z0-9]+)\s*[({]([^)}]*)[)}]")
+
+
+def parse_calibration(ann: str):
+    """Parse a fossil-calibration annotation into (kind, params).
+
+    Grammar (reference ProcessNodeAnnotation): '>0.06' lower bound,
+    '<0.08' upper bound, '>0.06<0.08' joint bounds, 'L{...}', 'U{...}',
+    'B{...}', 'G{...}', 'SN{...}', 'ST{...}', 'S2N{...}' densities.
+    Returns None for non-calibration annotations.
+    """
+    if ann is None:
+        return None
+    a = ann.strip()
+    m = _DIST_RE.match(a)
+    if m:
+        kind = m.group(1).upper()
+        params = [float(x) for x in re.split(r"[\s,]+", m.group(2).strip()) if x]
+        if kind in ("L", "U", "B", "G", "SN", "ST", "S2N"):
+            return kind, params
+        return None
+    lower = re.search(r">\s*([0-9.eE+-]+)", a)
+    upper = re.search(r"<\s*([0-9.eE+-]+)", a)
+    if lower and upper:
+        return "B", [float(lower.group(1)), float(upper.group(1))]
+    if lower:
+        return "L", [float(lower.group(1))]
+    if upper:
+        return "U", [float(upper.group(1))]
+    return None
