@@ -5,6 +5,11 @@ family and fitting capabilities, built as a single jitted objective
 (pattern likelihoods + gamma mixture + closed-form/spectral P(t)) optimized
 with exact autodiff gradients (replacing `ming2`'s finite differences,
 src/tools.c:6595).
+
+Multi-gene (option G) semantics follow the reference (SetPGene,
+src/baseml.c:1428): Mgene=0 shared everything + free per-gene rates
+`rgene`; Mgene=2 per-gene (observed) frequencies; Mgene=3 per-gene rate
+parameters; Mgene=4 both; Mgene=1 fully separate analyses per gene.
 """
 from __future__ import annotations
 
@@ -21,9 +26,11 @@ from ..core.topology import Topology, from_treenode
 from ..io import seqio, treeio
 from ..models import nuc
 
+# reference bounds: SetxBound, src/baseml.c:1458
 BLEN_MIN, BLEN_MAX = 4e-6, 50.0
-KAPPA_MIN, KAPPA_MAX = 1e-4, 999.0
-ALPHA_MIN, ALPHA_MAX = 0.005, 99.0
+RATE_MIN, RATE_MAX = 1e-5, 999.0
+RGENE_MIN, RGENE_MAX = 1e-4, 999.0
+ALPHA_MIN, ALPHA_MAX = 0.005, 999.0
 
 
 @dataclass
@@ -34,6 +41,8 @@ class BasemlSpec:
     alpha: float = 0.0
     fix_kappa: bool = False
     kappa: float = 5.0
+    Mgene: int = 0
+    Malpha: bool = False         # separate alpha per gene
     cleandata: bool = False
     use_median: bool = False     # discrete-gamma median option
     getSE: bool = False
@@ -47,38 +56,51 @@ class BasemlResult:
     blens: np.ndarray            # per-branch MLEs, indexed by branch node
     branch_nodes: np.ndarray
     rate_params: np.ndarray
-    alpha: float | None
+    rgene: np.ndarray
+    alpha: np.ndarray | None
     pi: np.ndarray
     np: int
     topo: Topology = None
     SEs: np.ndarray | None = None
     fit: FitResult = None
+    x: np.ndarray = None
 
 
 def _n_rate_params(spec: BasemlSpec) -> int:
     if spec.model in ("REVu", "UNRESTu"):
         return spec.n_user_rates
     n = nuc.N_RATE_PARAMS[spec.model]
-    if spec.fix_kappa and spec.model in ("K80", "F84", "HKY85", "T92"):
+    if spec.fix_kappa and spec.model in ("K80", "F84", "HKY85", "T92", "TN93"):
         n = 0
     return n
 
 
 def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
                    dtype=jnp.float64):
-    """Build (neg_lnl(x), pack, unpack, x0, bounds)."""
+    """Build (neg_lnl(x), unpack, x0, bounds).
+
+    Parameter layout mirrors the reference (GetInitials, src/baseml.c:1149):
+    [branch lengths | rgene (ngene-1) | rate params | alpha(s)].
+    """
     branch_nodes = topo.branch_nodes()
     nb = len(branch_nodes)
-    nr = _n_rate_params(spec)
+    G = data.ngene if spec.Mgene != 1 else 1
+    per_gene_rates = spec.Mgene >= 3 and G > 1
+    per_gene_pi = spec.Mgene in (2, 4) and G > 1
+    nr1 = _n_rate_params(spec)
+    nrate = nr1 * (G if per_gene_rates else 1)
+    nrgene = G - 1
     est_alpha = spec.ncatG > 1 and not spec.fix_alpha
-    n_par = nb + nr + (1 if est_alpha else 0)
+    nalpha = (G if (est_alpha and spec.Malpha) else (1 if est_alpha else 0))
 
-    pi_np = nuc.model_pi(spec.model, data.base_freqs)
-    pi = jnp.asarray(pi_np, dtype)
-    tips = jnp.asarray(data.tip_partials, dtype)
-    fpatt = jnp.asarray(data.fpatt, dtype)
-    fixed_kappa = jnp.asarray(
-        np.atleast_1d(spec.kappa).astype(np.float64), dtype)
+    pi_g = [nuc.model_pi(spec.model,
+                         data.gene_freqs[g] if per_gene_pi else data.base_freqs)
+            for g in range(G)]
+    tips_g = [jnp.asarray(data.tip_partials[:, data.gene_slice(g)], dtype)
+              for g in range(G)]
+    fpatt_g = [jnp.asarray(data.fpatt[data.gene_slice(g)], dtype)
+               for g in range(G)]
+    fixed_kappa = jnp.asarray(np.atleast_1d(spec.kappa).astype(np.float64), dtype)
     step = spec.step_matrix
     model = spec.model
     K = spec.ncatG
@@ -88,25 +110,37 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
 
     def unpack(x):
         t = x[:nb]
-        rates = x[nb:nb + nr] if nr else fixed_kappa
-        alpha = x[nb + nr] if est_alpha else jnp.asarray(spec.alpha, dtype)
-        return t, rates, alpha
+        k = nb
+        rgene = jnp.concatenate([jnp.ones((1,), x.dtype), x[k:k + nrgene]])
+        k += nrgene
+        rates = x[k:k + nrate] if nrate else fixed_kappa
+        k += nrate
+        if nalpha:
+            alpha = x[k:k + nalpha]
+        else:
+            alpha = jnp.full((1,), spec.alpha, x.dtype)
+        return t, rgene, rates, alpha
 
     def neg_lnl(x):
         x = x.astype(dtype)
-        t, rates, alpha = unpack(x)
-        if K > 1:
-            r, w = discrete_gamma(alpha, K, use_median=use_median)
-        else:
-            r = jnp.ones((1,), dtype)
-            w = jnp.ones((1,), dtype)
-        # branch x class lengths: [nnode, C]
+        t, rgene, rates, alpha = unpack(x)
+        total = jnp.asarray(0.0, dtype)
         tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
-        ts = tfull[:, None] * r[None, :]
-        P, pi_root = nuc.pmats_for_model(model, rates, pi, ts, step)
-        piC = jnp.broadcast_to(pi_root, (K, 4))
-        val = pruning.lnL(P, tips, topo, piC, w, fpatt)
-        return -val
+        for g in range(G):
+            a_g = alpha[g if nalpha == G and G > 1 else 0]
+            if K > 1:
+                r, w = discrete_gamma(a_g, K, use_median=use_median)
+            else:
+                r = jnp.ones((1,), dtype)
+                w = jnp.ones((1,), dtype)
+            rates_g = (rates[g * nr1:(g + 1) * nr1] if per_gene_rates
+                       else rates)
+            pig = jnp.asarray(pi_g[g], dtype)
+            ts = tfull[:, None] * (r[None, :] * rgene[g])
+            P, pi_root = nuc.pmats_for_model(model, rates_g, pig, ts, step)
+            piC = jnp.broadcast_to(pi_root, (K, 4))
+            total = total + pruning.lnL(P, tips_g[g], topo, piC, w, fpatt_g[g])
+        return -total
 
     # initial values
     t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
@@ -115,21 +149,20 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     t0 = np.maximum(t0, BLEN_MIN * 2)
     x0 = list(t0)
     bounds = [(BLEN_MIN, BLEN_MAX)] * nb
-    if nr:
-        if model == "TN93":
-            x0 += [spec.kappa, spec.kappa]
-        elif model in ("REV", "REVu"):
-            x0 += [1.0] * (nr - 0)
-            if model == "REV":
-                x0[nb] = spec.kappa   # TC exchangeability starts near kappa
-        elif model in ("UNREST", "UNRESTu"):
-            x0 += [1.0] * nr
+    x0 += [1.0] * nrgene
+    bounds += [(RGENE_MIN, RGENE_MAX)] * nrgene
+    r1 = {"TN93": [spec.kappa, spec.kappa]}.get(model)
+    if r1 is None:
+        if model in ("REV",):
+            r1 = [spec.kappa] + [1.0] * 4
+        elif model in ("REVu", "UNRESTu", "UNREST"):
+            r1 = [1.0] * nr1
         else:
-            x0 += [spec.kappa]
-        bounds += [(KAPPA_MIN, KAPPA_MAX)] * nr
-    if est_alpha:
-        x0.append(spec.alpha if spec.alpha > 0 else 0.5)
-        bounds.append((ALPHA_MIN, ALPHA_MAX))
+            r1 = [spec.kappa] * nr1
+    x0 += r1 * (G if per_gene_rates else 1)
+    bounds += [(RATE_MIN, RATE_MAX)] * nrate
+    x0 += [spec.alpha if spec.alpha > 0 else 0.5] * nalpha
+    bounds += [(ALPHA_MIN, ALPHA_MAX)] * nalpha
     return neg_lnl, unpack, np.array(x0), bounds
 
 
@@ -147,16 +180,36 @@ def fit_packed(data: seqio.PackedData, topo: Topology,
                spec: BasemlSpec, dtype=jnp.float64) -> BasemlResult:
     neg_lnl, unpack, x0, bounds = make_objective(data, topo, spec, dtype)
     res = maximize(neg_lnl, x0, bounds)
-    t, rates, alpha = unpack(jnp.asarray(res.x))
+    t, rgene, rates, alpha = unpack(jnp.asarray(res.x))
     branch_nodes = topo.branch_nodes()
     ses = None
     if spec.getSE:
         H = jax.hessian(neg_lnl)(jnp.asarray(res.x))
         cov = np.linalg.inv(np.asarray(H))
         ses = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    est_alpha = spec.ncatG > 1 and not spec.fix_alpha
     return BasemlResult(
         lnL=res.lnL, blens=np.asarray(t), branch_nodes=branch_nodes,
-        rate_params=np.asarray(rates),
-        alpha=float(alpha) if (spec.ncatG > 1) else None,
+        rate_params=np.asarray(rates), rgene=np.asarray(rgene),
+        alpha=np.asarray(alpha) if spec.ncatG > 1 else None,
         pi=nuc.model_pi(spec.model, data.base_freqs),
-        np=len(res.x), topo=topo, SEs=ses, fit=res)
+        np=len(res.x), topo=topo, SEs=ses, fit=res, x=np.asarray(res.x))
+
+
+def fit_separate(seqfile: str, treefile: str, spec: BasemlSpec,
+                 dtype=jnp.float64) -> list[BasemlResult]:
+    """Mgene=1: independent analysis per gene (reference: MultipleGenes,
+    src/treesub.c:5170)."""
+    aln = seqio.read_alignment(seqfile, seqio.BASE_SEQ)
+    results = []
+    for g in range(aln.ngene):
+        sel = np.where(aln.site_gene == g)[0]
+        sub = seqio.Alignment(aln.names, ["".join(r[i] for i in sel)
+                                          for r in aln.rows], aln.seqtype)
+        data = seqio.pack(sub, cleandata=spec.cleandata)
+        trees = treeio.read_trees(treefile, data.names)
+        topo = from_treenode(trees[0], data.names)
+        import dataclasses
+        results.append(fit_packed(
+            data, topo, dataclasses.replace(spec, Mgene=0), dtype=dtype))
+    return results

@@ -22,25 +22,44 @@ def gammaincinv(a: jnp.ndarray, p: jnp.ndarray, n_iter: int = 40) -> jnp.ndarray
     """
     a = jnp.asarray(a)
     p = jnp.asarray(p)
-    # Wilson-Hilferty approximation for chi2 quantile
+    lg = gammaln(a)
+    # two initial guesses: Wilson-Hilferty (good for moderate/large a) and
+    # the small-x expansion  P(a,x) ~ x^a / Gamma(a+1)  (good for small a
+    # where the WH cube is garbage); pick whichever inverts better.
     z = jnp.sqrt(2.0) * jax.scipy.special.erfinv(2.0 * p - 1.0)
     g = 2.0 / (9.0 * a)
-    x0 = a * (1.0 - g + z * jnp.sqrt(g)) ** 3
-    x0 = jnp.maximum(x0, 1e-10)
-    lg = gammaln(a)
+    x_wh = jnp.maximum(a * (1.0 - g + z * jnp.sqrt(g)) ** 3, 1e-300)
+    x_sm = jnp.exp((jnp.log(p) + gammaln(a + 1.0)) / a)
+    err_wh = jnp.abs(gammainc(a, x_wh) - p)
+    err_sm = jnp.abs(gammainc(a, x_sm) - p)
+    x0 = jnp.where(err_sm < err_wh, x_sm, x_wh)
+    # Newton on log CDF in log-space (monotone and well-scaled in the deep
+    # lower tail where plain Newton on the CDF oscillates):
+    #   h(y) = log P(a, e^y) - log p;  h'(y) = pdf(x) * x / P(a, x)
+    y0 = jnp.log(jnp.maximum(x0, 1e-300))
+    logp = jnp.log(p)
 
-    def body(_, x):
+    def body(_, y):
+        x = jnp.exp(y)
+        F = jnp.maximum(gammainc(a, x), 1e-300)
+        log_pdfx = a * y - x - lg          # log(pdf(x) * x)
+        step = (jnp.log(F) - logp) * F * jnp.exp(-log_pdfx)
+        step = jnp.clip(step, -2.0, 2.0)
+        yn = y - step
+        return jnp.where(jnp.isfinite(yn), yn, y)
+
+    y = jax.lax.fori_loop(0, n_iter, body, y0, unroll=4)
+
+    # plain-Newton polish for the last digits
+    def polish(_, y):
+        x = jnp.exp(y)
         f = gammainc(a, x) - p
-        # pdf of Gamma(a, 1)
-        logpdf = (a - 1.0) * jnp.log(x) - x - lg
-        step = f / jnp.maximum(jnp.exp(logpdf), 1e-300)
-        xn = x - step
-        # guard: keep positive, damp huge steps
-        xn = jnp.where(xn <= 0, x / 2.0, xn)
-        xn = jnp.where(jnp.isfinite(xn), xn, x)
-        return xn
+        log_dfdy = a * y - x - lg
+        step = jnp.clip(f * jnp.exp(-log_dfdy), -1.0, 1.0)
+        yn = y - step
+        return jnp.where(jnp.isfinite(yn), yn, y)
 
-    return jax.lax.fori_loop(0, n_iter, body, x0, unroll=4)
+    return jnp.exp(jax.lax.fori_loop(0, 4, polish, y, unroll=4))
 
 
 def discrete_gamma(alpha: jnp.ndarray, K: int, beta: jnp.ndarray | None = None,

@@ -58,11 +58,25 @@ def maximize(neg_fn: Callable, x0: np.ndarray,
     if multi_start:
         starts += [np.asarray(s, dtype=np.float64) for s in multi_start]
 
+    opts = {"maxiter": maxiter, "ftol": 1e-14, "gtol": 1e-9,
+            "maxcor": 30, "maxls": 50}
     best = None
     for s in starts:
         res = minimize(fun, s, jac=True, method="L-BFGS-B", bounds=bounds,
-                       options={"maxiter": maxiter, "ftol": tol,
-                                "gtol": 1e-8, "maxcor": 20})
+                       options=opts)
+        # restart from the optimum: resets the L-BFGS memory, which
+        # reliably escapes line-search stalls on ridged surfaces (the
+        # reference gets the same effect from ming2's periodic Hessian
+        # resets); stop when a restart no longer improves.
+        for _ in range(8):
+            res2 = minimize(fun, res.x, jac=True, method="L-BFGS-B",
+                            bounds=bounds, options=opts)
+            if res2.fun < res.fun - 1e-10 * max(1.0, abs(res.fun)):
+                res = res2
+            else:
+                if res2.fun < res.fun:
+                    res = res2
+                break
         if best is None or res.fun < best.fun:
             best = res
     return FitResult(x=np.asarray(best.x), lnL=-float(best.fun),

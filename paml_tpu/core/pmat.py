@@ -31,14 +31,22 @@ def symmetrize(Q: jnp.ndarray, pi: jnp.ndarray) -> jnp.ndarray:
 
 
 def _phi(mu_k: jnp.ndarray, mu_l: jnp.ndarray) -> jnp.ndarray:
-    """Divided difference (e^{mu_k} - e^{mu_l}) / (mu_k - mu_l), with the
-    t*e^{mu} limit at coincident values, computed stably via expm1."""
+    """Divided difference (e^{mu_k} - e^{mu_l}) / (mu_k - mu_l) with the
+    e^{mu} limit at coincident values.  Near-coincident arguments use the
+    expm1 form (avoids cancellation); far-apart arguments use the direct
+    difference (avoids 0 * inf when exp(mu_l) underflows while expm1(d)
+    overflows, e.g. at very long branches)."""
     d = mu_k - mu_l
-    small = jnp.abs(d) < 1e-10
-    d_safe = jnp.where(small, 1.0, d)
-    out = jnp.exp(mu_l) * jnp.expm1(d_safe) / d_safe
-    lim = jnp.exp(0.5 * (mu_k + mu_l))
-    return jnp.where(small, lim, out)
+    near = jnp.abs(d) < 0.5
+    d_near = jnp.where(near, jnp.where(jnp.abs(d) < 1e-300, 0.0, d), 1.0)
+    # expm1(x)/x, series-safe at 0
+    ratio = jnp.where(jnp.abs(d_near) < 1e-8,
+                      1.0 + 0.5 * d_near,
+                      jnp.expm1(d_near) / jnp.where(d_near == 0, 1.0, d_near))
+    phi_near = jnp.exp(mu_l) * ratio
+    d_far = jnp.where(near, 1.0, d)
+    phi_far = (jnp.exp(mu_k) - jnp.exp(mu_l)) / d_far
+    return jnp.where(near, phi_near, phi_far)
 
 
 @jax.custom_jvp

@@ -64,7 +64,11 @@ class PackedData:
     # map site -> pattern index
     site_pattern: np.ndarray | None = None
     base_freqs: np.ndarray | None = None   # observed freqs over all seqs
+    gene_freqs: np.ndarray | None = None   # [ngene, nstates] per-gene observed
     icode: int = 0
+
+    def gene_slice(self, g: int) -> slice:
+        return slice(int(self.posG[g]), int(self.posG[g + 1]))
 
     @property
     def ns(self) -> int:
@@ -465,10 +469,18 @@ def pack(aln: Alignment, cleandata: bool = False, icode: int = 0) -> PackedData:
     # InitializeBaseAA, src/treesub.c:1548)
     resolved = tip.sum(-1) == 1
     w = tip * (resolved[..., None] * fpatt[None, :, None])      # [ns,H,n]
-    per_sp = w.sum(1)                                           # [ns, n]
-    tot = per_sp.sum(-1, keepdims=True)
-    per_sp = np.where(tot > 0, per_sp / np.maximum(tot, 1), 1.0 / nstates)
-    base_freqs = per_sp.mean(0)
+
+    def freqs_of(block: np.ndarray) -> np.ndarray:
+        per_sp = block.sum(1)                                   # [ns, n]
+        tot = per_sp.sum(-1, keepdims=True)
+        per_sp = np.where(tot > 0, per_sp / np.maximum(tot, 1e-300),
+                          1.0 / nstates)
+        return per_sp.mean(0)
+
+    base_freqs = freqs_of(w)
+    posG_arr = np.array(posG)
+    gene_freqs = np.stack([freqs_of(w[:, posG_arr[g]:posG_arr[g + 1]])
+                           for g in range(ngene)])
 
     return PackedData(
         names=aln.names, seqtype=seqtype, nstates=nstates,
@@ -476,4 +488,5 @@ def pack(aln: Alignment, cleandata: bool = False, icode: int = 0) -> PackedData:
         posG=np.array(posG), lgene=lgene, ls=nunits,
         cleandata=cleandata or bool((masks.sum(-1) == 1).all()),
         pattern_site=np.concatenate(psite_list),
-        site_pattern=site_pattern, base_freqs=base_freqs, icode=icode)
+        site_pattern=site_pattern, base_freqs=base_freqs,
+        gene_freqs=gene_freqs, icode=icode)

@@ -69,11 +69,14 @@ def build_unrest_Q(rates11: jnp.ndarray) -> jnp.ndarray:
 
 
 def stationary_of(Q: jnp.ndarray) -> jnp.ndarray:
-    """Stationary distribution: solve pi Q = 0, sum(pi)=1."""
+    """Stationary distribution: solve pi Q = 0, sum(pi)=1 (reference:
+    QtoPi, src/tools.c).  Uses a square solve (replace the last balance
+    equation with the normalization) — unlike lstsq/SVD this differentiates
+    cleanly even at symmetric parameter points."""
     n = Q.shape[0]
-    A = jnp.concatenate([Q.T, jnp.ones((1, n), Q.dtype)], axis=0)
-    b = jnp.concatenate([jnp.zeros((n,), Q.dtype), jnp.ones((1,), Q.dtype)])
-    pi, *_ = jnp.linalg.lstsq(A, b)
+    A = Q.T.at[n - 1, :].set(1.0)
+    b = jnp.zeros((n,), Q.dtype).at[n - 1].set(1.0)
+    pi = jnp.linalg.solve(A, b)
     return jnp.maximum(pi, 1e-12)
 
 
