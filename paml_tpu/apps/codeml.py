@@ -1,0 +1,436 @@
+"""codeml: maximum likelihood for codon (and amino-acid) alignments.
+
+TPU-native counterpart of the reference program (src/codeml.c).  All site
+models are expressed in one unified form: an omega matrix W[branch-type,
+site-class] plus class frequencies, with either per-Q normalization (M0,
+branch models) or mixture normalization via per-branch-type Q factors
+(NSsites / branch-site / clade models; reference: Qfactor_NS machinery,
+src/codeml.c:2580-2663 and Appendix B of SURVEY.md).
+
+Site-class likelihoods ride the class axis of the pruning engine
+(reference: fhK / lfundG, src/treesub.c:7608-7760).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import pruning
+from ..core.dgamma import betaincinv, gammaincinv
+from ..core.optim import FitResult, maximize, simplex_decode, simplex_encode
+from ..core.pmat import pmat_rev
+from ..core.topology import Topology, from_treenode
+from ..io import seqio, treeio
+from ..models import codon as codonmod
+
+# reference bounds (SetxBound, src/codeml.c:1583 region)
+BLEN_MIN, BLEN_MAX = 4e-6, 50.0
+KAPPA_MIN, KAPPA_MAX = 1e-4, 999.0
+OMEGA_MIN, OMEGA_MAX = 1e-4, 999.0     # M0/branch omegas (rateb)
+W_MIN, W_MAX = 1e-6, 999.0             # NSsites omegas (wb with *=0.01)
+P_MIN, P_MAX = 1e-5, 0.99999           # raw proportions
+PQ_MIN, PQ_MAX = 0.005, 99.0           # beta p, q
+TRANS_MIN, TRANS_MAX = -99.0, 99.0     # transformed proportions
+
+NSSITES_NONE, M1A, M2A, M3, M4, M5, M7, M8 = 0, 1, 2, 3, 4, 5, 7, 8
+M2A_REL = 22
+
+
+@dataclass
+class CodemlSpec:
+    seqtype: int = 1             # 1 codon, 2 aa
+    model: int = 0               # 0 one-ratio; 1 free-ratio; 2 branch labels
+    NSsites: int = 0
+    codonf: str = "F3x4"         # Fequal F1x4 F3x4 Fcodon F1x4MG F3x4MG ...
+    icode: int = 0
+    ncatG: int = 3               # classes for M3; beta categories for M7/M8
+    fix_kappa: bool = False
+    kappa: float = 2.0
+    fix_omega: bool = False
+    omega: float = 0.4
+    cleandata: bool = False
+    hkyREV: bool = False
+    getSE: bool = False
+    aa_model: str = "Empirical_F"   # for seqtype=2
+    aa_rate_file: str | None = None
+
+
+@dataclass
+class CodemlResult:
+    lnL: float
+    np: int
+    blens: np.ndarray
+    branch_nodes: np.ndarray
+    kappa: np.ndarray
+    params: dict
+    pi: np.ndarray
+    topo: Topology = None
+    fit: FitResult = None
+    x: np.ndarray = None
+    spec: CodemlSpec = None
+    site_class_post: np.ndarray | None = None   # [C, H] NEB posteriors
+    class_omegas: np.ndarray | None = None
+    class_freqs: np.ndarray | None = None
+
+
+def _n_btypes(topo: Topology, model: int) -> int:
+    if model == 0:
+        return 1
+    if model == 1:
+        return topo.nnode - 1          # free ratios: one per branch
+    return int(topo.labels.max()) + 1
+
+
+# --- NSsites class builders ------------------------------------------------
+
+def beta_median_quantiles(p, q, K: int):
+    """Raw median quantiles of beta(p, q) over K classes -- NO mean
+    rescaling (reference: DiscreteNSsites, src/codeml.c:2860-2871)."""
+    ys = (jnp.arange(K) + 0.5) / K
+    return betaincinv(p, q, ys)
+
+
+def gamma_median_quantiles(alpha, beta, K: int):
+    ys = (jnp.arange(K) + 0.5) / K
+    return gammaincinv(alpha, ys) / beta
+
+
+def nssites_nparams(NSsites: int, ncatG: int, fix_omega: bool) -> int:
+    """Number of distribution parameters after kappa (excluding M0 omega)."""
+    if NSsites == M1A:
+        return 2                       # p0, w0
+    if NSsites in (M2A, M2A_REL):
+        return 3 + (0 if fix_omega else 1)   # p0, p1 (transformed), w0, [w2]
+    if NSsites == M3:
+        return (ncatG - 1) + ncatG
+    if NSsites == M4:
+        return ncatG - 1               # freqs model: fixed omegas
+    if NSsites == M5:
+        return 2                       # alpha, beta
+    if NSsites == M7:
+        return 2                       # p, q
+    if NSsites == M8:
+        return 3 + (0 if fix_omega else 1)   # p0, p, q, [ws]
+    raise ValueError(f"NSsites {NSsites} not supported yet")
+
+
+def nssites_classes(NSsites: int, theta, ncatG: int, fix_omega: bool,
+                    omega_fix: float, dtype=jnp.float64):
+    """(omegas [K], freqs [K]) from the distribution parameter vector."""
+    if NSsites == M1A:
+        p0, w0 = theta[0], theta[1]
+        return (jnp.stack([w0, jnp.asarray(1.0, dtype)]),
+                jnp.stack([p0, 1.0 - p0]))
+    if NSsites in (M2A, M2A_REL):
+        p = simplex_decode(theta[:2])
+        w0 = theta[2]
+        w2 = jnp.asarray(omega_fix, dtype) if fix_omega else theta[3]
+        return jnp.stack([w0, jnp.asarray(1.0, dtype), w2]), p
+    if NSsites == M3:
+        p = simplex_decode(theta[:ncatG - 1])
+        return theta[ncatG - 1:ncatG - 1 + ncatG], p
+    if NSsites == M4:
+        p = simplex_decode(theta[:ncatG - 1])
+        w = jnp.asarray([0.0, 1 / 3, 2 / 3, 1.0, 3.0], dtype)
+        return w, p
+    if NSsites == M5:
+        a, b = theta[0], theta[1]
+        w = gamma_median_quantiles(a, b, ncatG)
+        return w, jnp.full((ncatG,), 1.0 / ncatG, dtype)
+    if NSsites == M7:
+        w = beta_median_quantiles(theta[0], theta[1], ncatG)
+        return w, jnp.full((ncatG,), 1.0 / ncatG, dtype)
+    if NSsites == M8:
+        p0 = theta[0]
+        w = beta_median_quantiles(theta[1], theta[2], ncatG)
+        ws = jnp.asarray(omega_fix, dtype) if fix_omega else theta[3]
+        omegas = jnp.concatenate([w, ws[None]])
+        freqs = jnp.concatenate([jnp.full((ncatG,), 1.0 / ncatG, dtype) * p0,
+                                 (1.0 - p0)[None]])
+        return omegas, freqs
+    raise ValueError(f"NSsites {NSsites}")
+
+
+def nssites_x0_bounds(NSsites: int, ncatG: int, fix_omega: bool,
+                      omega0: float):
+    if NSsites == M1A:
+        return [0.7, 0.2], [(P_MIN, P_MAX), (W_MIN, 1.0)]
+    if NSsites in (M2A, M2A_REL):
+        x0 = [1.0, 0.5, 0.2]
+        b = [(TRANS_MIN, TRANS_MAX)] * 2 + [(W_MIN, 1.0)]
+        if not fix_omega:
+            x0.append(max(2.0, omega0))
+            b.append((1.0 if NSsites == M2A else W_MIN, W_MAX))
+        return x0, b
+    if NSsites == M3:
+        x0 = [0.0] * (ncatG - 1) + list(np.linspace(0.1, 1.2, ncatG))
+        return x0, ([(TRANS_MIN, TRANS_MAX)] * (ncatG - 1)
+                    + [(W_MIN, W_MAX)] * ncatG)
+    if NSsites == M4:
+        return [0.0] * (ncatG - 1), [(TRANS_MIN, TRANS_MAX)] * (ncatG - 1)
+    if NSsites == M5:
+        return [0.6, 1.0], [(0.02, 49.0)] * 2
+    if NSsites == M7:
+        return [0.5, 1.2], [(PQ_MIN, PQ_MAX)] * 2
+    if NSsites == M8:
+        x0 = [0.9, 0.5, 1.2]
+        b = [(P_MIN, P_MAX), (PQ_MIN, PQ_MAX), (PQ_MIN, PQ_MAX)]
+        if not fix_omega:
+            x0.append(2.0)
+            b.append((1.0, W_MAX))
+        return x0, b
+    raise ValueError(f"NSsites {NSsites}")
+
+
+# --- objective -------------------------------------------------------------
+
+def nssites_extra_starts(NSsites: int, ncatG: int, fix_omega: bool):
+    """Additional theta starting points for multimodal NSsites surfaces
+    (the reference relies on users re-running with different initials;
+    we build the multi-start in)."""
+    if NSsites == M3:
+        outs = []
+        for ws in ([0.01, 0.2, 0.9], [0.05, 0.5, 3.0], [0.3, 1.0, 5.0]):
+            w = list(np.linspace(ws[0], ws[-1], ncatG)) if ncatG != 3 else list(ws)
+            outs.append([0.0] * (ncatG - 1) + w)
+        return outs
+    if NSsites in (M2A, M2A_REL):
+        out = [[2.0, 0.3, 0.05], [0.0, -1.0, 0.5]]
+        if not fix_omega:
+            out = [o + [w2] for o, w2 in zip(out, [5.0, 1.5])]
+        return out
+    if NSsites == M8:
+        out = [[0.99, 0.2, 1.0], [0.7, 1.0, 2.0]]
+        if not fix_omega:
+            out = [o + [w2] for o, w2 in zip(out, [3.0, 1.3])]
+        return out
+    if NSsites == M7:
+        return [[0.2, 0.8], [2.0, 2.0]]
+    if NSsites == M1A:
+        return [[0.9, 0.05]]
+    if NSsites == M5:
+        return [[1.1, 1.1]]
+    return []
+
+
+def make_codon_objective(data: seqio.PackedData, topo: Topology,
+                         spec: CodemlSpec, dtype=jnp.float64):
+    graph = codonmod.codon_graph(spec.icode)
+    fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
+        data.tip_partials, data.fpatt, graph)
+    pi_np = codonmod.codon_pi(spec.codonf, fcodon, f3x4, f1x4, graph)
+    pf3x4 = codonmod.mg_pf3x4(spec.codonf, f3x4, f1x4)
+    pi = jnp.asarray(pi_np, dtype)
+    tips = jnp.asarray(data.tip_partials, dtype)
+    fpatt = jnp.asarray(data.fpatt, dtype)
+
+    branch_nodes = topo.branch_nodes()
+    nb = len(branch_nodes)
+    bn = jnp.asarray(branch_nodes)
+    nnode = topo.nnode
+    B = _n_btypes(topo, spec.model)
+    NS = spec.NSsites
+    ncatG = spec.ncatG
+    nkappa = 0 if spec.fix_kappa else (5 if spec.hkyREV else 1)
+
+    # branch type per node (root entry unused)
+    if spec.model == 1:
+        btype = np.zeros(nnode, dtype=np.int64)
+        btype[branch_nodes] = np.arange(nb)
+    else:
+        btype = topo.labels.astype(np.int64)
+    btype_j = jnp.asarray(btype)
+
+    if NS == 0:
+        n_theta = 0
+        if spec.model == 0:
+            n_w = 0 if spec.fix_omega else 1
+        else:
+            n_w = B - 1 if spec.fix_omega else B
+    else:
+        n_theta = nssites_nparams(NS, ncatG, spec.fix_omega)
+        n_w = 0
+
+    def unpack(x):
+        t = x[:nb]
+        k = nb
+        kappa = x[k:k + nkappa] if nkappa else jnp.asarray(
+            [spec.kappa] * (5 if spec.hkyREV else 1), dtype)
+        k += nkappa
+        theta = x[k:k + n_theta + n_w]
+        return t, kappa, theta
+
+    def classes_for(theta):
+        """Build W [B, K], freqs [K], and per-branch-type scale mode."""
+        if NS == 0:
+            if spec.model == 0:
+                w = (jnp.asarray(spec.omega, dtype) if spec.fix_omega
+                     else theta[0])
+                W = w.reshape(1, 1)
+            else:
+                ws = theta[:n_w]
+                if spec.fix_omega:
+                    # last branch type has the fixed omega
+                    ws = jnp.concatenate(
+                        [ws, jnp.asarray([spec.omega], dtype)])
+                W = ws.reshape(B, 1)
+            freqs = jnp.ones((1,), dtype)
+            return W, freqs, "per_Q"
+        if spec.model == 0:
+            omegas, freqs = nssites_classes(NS, theta, ncatG, spec.fix_omega,
+                                            spec.omega, dtype)
+            return omegas.reshape(1, -1), freqs, "mixture"
+        if spec.model == 2 and NS in (M2A, M3):
+            # branch-site models A (NSsites=2) & B (NSsites=3)
+            if NS == M2A:
+                p = simplex_decode(theta[:2])   # p0, p1 renormalized
+                w0 = theta[2]
+                w2 = (jnp.asarray(spec.omega, dtype) if spec.fix_omega
+                      else theta[3])
+                one = jnp.asarray(1.0, dtype)
+            else:
+                p = simplex_decode(theta[:2])
+                w0, one, w2 = theta[2], theta[3], theta[4]
+            t01 = p[0] + p[1]
+            freqs = jnp.stack([p[0], p[1],
+                               (1 - t01) * p[0] / t01,
+                               (1 - t01) * p[1] / t01])
+            # rows: branch type 0 = background, 1 = foreground
+            Wback = jnp.stack([w0, one, w0, one])
+            Wfore = jnp.stack([w0, one, w2, w2])
+            W = jnp.stack([Wback, Wfore])
+            return W, freqs, "mixture"
+        if spec.model == 3 and NS in (M2A, M3):
+            # clade models C (NSsites=2) and D (NSsites=3)
+            p = simplex_decode(theta[:ncatG - 1]) if NS == M3 else \
+                simplex_decode(theta[:2])
+            K = 3 if NS == M2A else ncatG
+            if NS == M2A:      # model C: w0, 1, w_b per clade
+                w0 = theta[2]
+                base = [w0, jnp.asarray(1.0, dtype)]
+                per_type = theta[3:3 + B]
+            else:              # model D: w0..w_{K-2} shared, w_{K-1} per clade
+                base = [theta[(K - 1) + i] for i in range(K - 1)]
+                per_type = theta[(K - 1) + (K - 1):(K - 1) + (K - 1) + B]
+            rows = []
+            for b in range(B):
+                rows.append(jnp.stack(base + [per_type[b]]))
+            W = jnp.stack(rows)
+            return W, p, "mixture"
+        raise ValueError(f"model {spec.model} with NSsites {NS}")
+
+    def neg_lnl(x):
+        x = x.astype(dtype)
+        t, kappa, theta = unpack(x)
+        W, freqs, scale_mode = classes_for(theta)
+        Bc, K = W.shape
+        s = codonmod.mutation_part(graph, kappa if spec.hkyREV else kappa[0],
+                                   pf3x4, spec.hkyREV, dtype)
+        rs, ra = codonmod.flux(graph, s, pi)
+        w_flat = W.reshape(-1)                              # [B*K]
+        Qs = jax.vmap(lambda w: codonmod.build_Q(graph, s, w, pi))(w_flat)
+        if scale_mode == "per_Q":
+            scale_flat = 1.0 / (rs + ra * w_flat)           # [B*K]
+        else:
+            wbar = jnp.sum(W * freqs[None, :], axis=1)      # [B]
+            scale_flat = jnp.repeat(1.0 / (rs + ra * wbar), K)
+        tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
+        # ts[node, b*k] = t[node] * scale[b*k]
+        ts = tfull[:, None] * scale_flat[None, :]           # [nnode, B*K]
+        P_all = jax.vmap(pmat_rev, in_axes=(0, None, 1), out_axes=1)(
+            Qs, pi, ts)                                     # [nnode, B*K, n, n]
+        P_all = P_all.reshape(nnode, Bc, K, graph.n, graph.n)
+        node_type = btype_j if Bc > 1 else jnp.zeros((nnode,), jnp.int64)
+        P = P_all[jnp.arange(nnode), node_type]             # [nnode, K, n, n]
+        piC = jnp.broadcast_to(pi, (K, graph.n))
+        return -pruning.lnL(P, tips, topo, piC, freqs, fpatt)
+
+    # x0 / bounds
+    t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
+    if not (t0 > 0).any():
+        t0 = np.full(nb, 0.1)
+    t0 = np.maximum(t0, BLEN_MIN * 2)
+    x0 = list(t0)
+    bounds = [(BLEN_MIN, BLEN_MAX)] * nb
+    if nkappa:
+        x0 += [spec.kappa] * nkappa
+        bounds += [(KAPPA_MIN, KAPPA_MAX)] * nkappa
+    if NS == 0:
+        x0 += [spec.omega] * n_w
+        bounds += [(OMEGA_MIN, OMEGA_MAX)] * n_w
+    elif spec.model == 0:
+        th0, thb = nssites_x0_bounds(NS, ncatG, spec.fix_omega, spec.omega)
+        x0 += th0
+        bounds += thb
+    elif spec.model == 2:   # branch-site A / B
+        if NS == M2A:
+            x0 += [1.0, 0.5, 0.2]
+            bounds += [(TRANS_MIN, TRANS_MAX)] * 2 + [(W_MIN, 1.0)]
+            if not spec.fix_omega:
+                x0 += [2.0]
+                bounds += [(1.0, W_MAX)]
+        else:
+            x0 += [1.0, 0.5, 0.2, 0.8, 2.0]
+            bounds += [(TRANS_MIN, TRANS_MAX)] * 2 + [(W_MIN, W_MAX)] * 3
+    elif spec.model == 3:
+        if NS == M2A:   # clade C
+            x0 += [1.0, 0.5, 0.2] + [1.0] * B
+            bounds += ([(TRANS_MIN, TRANS_MAX)] * 2 + [(W_MIN, 1.0)]
+                       + [(W_MIN, W_MAX)] * B)
+        else:           # clade D
+            x0 += [0.0] * (ncatG - 1) + [0.2, 0.8] + [1.0] * B
+            bounds += ([(TRANS_MIN, TRANS_MAX)] * (ncatG - 1)
+                       + [(1e-4, 1.0), (0.01, 1.5)] + [(W_MIN, W_MAX)] * B)
+    return neg_lnl, unpack, classes_for, np.array(x0), bounds, pi_np
+
+
+def fit(seqfile: str, treefile: str, spec: CodemlSpec | None = None,
+        tree_index: int = 0, dtype=jnp.float64) -> CodemlResult:
+    spec = spec or CodemlSpec()
+    aln = seqio.read_alignment(seqfile, seqio.CODON_SEQ)
+    data = seqio.pack(aln, cleandata=spec.cleandata, icode=spec.icode)
+    trees = treeio.read_trees(treefile, data.names)
+    topo = from_treenode(trees[tree_index], data.names)
+    return fit_packed(data, topo, spec, dtype=dtype)
+
+
+def fit_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
+               dtype=jnp.float64) -> CodemlResult:
+    neg_lnl, unpack, classes_for, x0, bounds, pi_np = \
+        make_codon_objective(data, topo, spec, dtype)
+    multi = None
+    if spec.NSsites and spec.model == 0:
+        extras = nssites_extra_starts(spec.NSsites, spec.ncatG, spec.fix_omega)
+        n_theta = nssites_nparams(spec.NSsites, spec.ncatG, spec.fix_omega)
+        multi = []
+        for th in extras:
+            if len(th) != n_theta:
+                continue
+            s = x0.copy()
+            s[-n_theta:] = th
+            multi.append(s)
+    elif spec.NSsites == M2A and spec.model == 2:
+        # branch-site A: vary the class proportions and foreground omega
+        base_th = ([1.0, 0.5, 0.2] + ([] if spec.fix_omega else [2.0]))
+        nth = len(base_th)
+        multi = []
+        for th in ([2.0, 1.0, 0.05] + ([] if spec.fix_omega else [5.0]),
+                   [0.0, 0.0, 0.5] + ([] if spec.fix_omega else [1.2]),
+                   [1.5, -0.5, 0.01] + ([] if spec.fix_omega else [10.0])):
+            s = x0.copy()
+            s[-nth:] = th
+            multi.append(s)
+    res = maximize(neg_lnl, x0, bounds, multi_start=multi)
+    xj = jnp.asarray(res.x)
+    t, kappa, theta = unpack(xj)
+    W, freqs, _ = classes_for(theta)
+    params = {"theta": np.asarray(theta), "W": np.asarray(W),
+              "freqs": np.asarray(freqs)}
+    return CodemlResult(
+        lnL=res.lnL, np=len(res.x), blens=np.asarray(t),
+        branch_nodes=topo.branch_nodes(), kappa=np.asarray(kappa),
+        params=params, pi=pi_np, topo=topo, fit=res, x=np.asarray(res.x),
+        spec=spec, class_omegas=np.asarray(W), class_freqs=np.asarray(freqs))

@@ -10,7 +10,55 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import betainc, gammainc, gammaln
+from jax.scipy.special import gammainc, gammaln
+
+
+def betainc(a, b, x, n_iter: int = 200):
+    """Regularized incomplete beta I_x(a, b) via the standard continued
+    fraction (modified Lentz), implemented in JAX so that gradients w.r.t.
+    a and b exist (jax.scipy.special.betainc does not define them; the
+    reference uses the same CF in CDFBeta, src/tools.c:3065 region).
+    """
+    a = jnp.asarray(a, jnp.result_type(a, b, x, 0.5))
+    b = jnp.asarray(b, a.dtype)
+    x = jnp.asarray(x, a.dtype)
+    use_sym = x > (a + 1.0) / (a + b + 2.0)
+    aa = jnp.where(use_sym, b, a)
+    bb = jnp.where(use_sym, a, b)
+    xx = jnp.where(use_sym, 1.0 - x, x)
+    xx = jnp.clip(xx, 0.0, 1.0 - 1e-16)
+
+    lnfront = (aa * jnp.log(jnp.maximum(xx, 1e-300))
+               + bb * jnp.log1p(-xx)
+               - jnp.log(aa)
+               - (gammaln(aa) + gammaln(bb) - gammaln(aa + bb)))
+
+    tiny = 1e-30
+    qab, qap, qam = aa + bb, aa + 1.0, aa - 1.0
+    c0 = jnp.ones_like(xx)
+    d0 = 1.0 - qab * xx / qap
+    d0 = 1.0 / jnp.where(jnp.abs(d0) < tiny, tiny, d0)
+    h0 = d0
+
+    def body(m, carry):
+        c, d, h = carry
+        m = m.astype(xx.dtype)
+        aa_num = m * (bb - m) * xx / ((qam + 2.0 * m) * (aa + 2.0 * m))
+        d = 1.0 + aa_num * d
+        d = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa_num / jnp.where(jnp.abs(c) < tiny, tiny, c)
+        h = h * d * c
+        aa_num = -(aa + m) * (qab + m) * xx / ((aa + 2.0 * m) * (qap + 2.0 * m))
+        d = 1.0 + aa_num * d
+        d = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa_num / jnp.where(jnp.abs(c) < tiny, tiny, c)
+        h = h * d * c
+        return c, d, h
+
+    _, _, h = jax.lax.fori_loop(1, n_iter, body, (c0, d0, h0))
+    res = jnp.exp(lnfront) * h
+    out = jnp.where(use_sym, 1.0 - res, res)
+    return jnp.clip(out, 0.0, 1.0)
 
 
 def gammaincinv(a: jnp.ndarray, p: jnp.ndarray, n_iter: int = 40) -> jnp.ndarray:

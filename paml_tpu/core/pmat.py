@@ -23,11 +23,28 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
+PI_FLOOR = 1e-100   # states with pi below this are dropped (reference:
+                    # eigenQREV reduced computation, src/tools.c:5023)
+
+
+def _sym_parts(Q: jnp.ndarray, pi: jnp.ndarray):
+    """(S, sqp, mask): symmetrized Q restricted to pi > PI_FLOOR states.
+
+    Zero-frequency states get zero S rows/cols and sqp 1, which yields
+    identity rows in P — exactly the reference's reduced-matrix semantics
+    for unobserved codons under Fcodon-style frequencies."""
+    mask = pi > PI_FLOOR
+    pi_safe = jnp.where(mask, pi, 1.0)
+    sqp = jnp.sqrt(pi_safe)
+    mm = mask[..., :, None] & mask[..., None, :]
+    S = jnp.where(mm, Q * sqp[..., :, None] / sqp[..., None, :], 0.0)
+    S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+    return S, sqp, mask
+
+
 def symmetrize(Q: jnp.ndarray, pi: jnp.ndarray) -> jnp.ndarray:
     """S = D^{1/2} Q D^{-1/2}, symmetric for reversible Q."""
-    sqp = jnp.sqrt(pi)
-    S = Q * sqp[..., :, None] / sqp[..., None, :]
-    return 0.5 * (S + jnp.swapaxes(S, -1, -2))
+    return _sym_parts(Q, pi)[0]
 
 
 def _phi(mu_k: jnp.ndarray, mu_l: jnp.ndarray) -> jnp.ndarray:
@@ -56,9 +73,7 @@ def pmat_rev(Q: jnp.ndarray, pi: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     Q: [n, n] reversible w.r.t. pi; pi: [n]; t: [...] any batch shape.
     Returns [..., n, n].  P = D^{-1/2} U exp(Lam t) U^T D^{1/2}.
     """
-    n = Q.shape[-1]
-    sqp = jnp.sqrt(pi)
-    S = symmetrize(Q, pi)
+    S, sqp, _ = _sym_parts(Q, pi)
     lam, U = jnp.linalg.eigh(S)
     L = U / sqp[:, None]              # [n, k]
     R = U.T * sqp[None, :]            # [k, n]
@@ -71,9 +86,7 @@ def pmat_rev(Q: jnp.ndarray, pi: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 def _pmat_rev_jvp(primals, tangents):
     Q, pi, t = primals
     dQ, dpi, dt = tangents
-    n = Q.shape[-1]
-    sqp = jnp.sqrt(pi)
-    S = symmetrize(Q, pi)
+    S, sqp, mask = _sym_parts(Q, pi)
     lam, U = jnp.linalg.eigh(S)
     L = U / sqp[:, None]
     R = U.T * sqp[None, :]
@@ -81,14 +94,18 @@ def _pmat_rev_jvp(primals, tangents):
     e = jnp.exp(mu)
     P = jnp.einsum("ik,...k,kj->...ij", L, e, R)
 
-    # dS from dQ and dpi:  S = D^{1/2} Q D^{-1/2}
+    # dS from dQ and dpi:  S = D^{1/2} Q D^{-1/2} on the pi > 0 states
     dQ = jnp.zeros_like(Q) if isinstance(dQ, jax.custom_derivatives.SymbolicZero) else dQ
     dpi = jnp.zeros_like(pi) if isinstance(dpi, jax.custom_derivatives.SymbolicZero) else dpi
     dt = jnp.zeros_like(t) if isinstance(dt, jax.custom_derivatives.SymbolicZero) else dt
+    dpi = jnp.where(mask, dpi, 0.0)
+    mm = mask[:, None] & mask[None, :]
     dsqp = dpi / (2.0 * sqp)
-    dS = (dQ * sqp[:, None] / sqp[None, :]
-          + Q * dsqp[:, None] / sqp[None, :]
-          - Q * sqp[:, None] * dsqp[None, :] / (sqp[None, :] ** 2))
+    dS = jnp.where(mm,
+                   dQ * sqp[:, None] / sqp[None, :]
+                   + Q * dsqp[:, None] / sqp[None, :]
+                   - Q * sqp[:, None] * dsqp[None, :] / (sqp[None, :] ** 2),
+                   0.0)
     dS = 0.5 * (dS + dS.T)
 
     # tangent of expm(S t) in the eigenbasis (Daleckii-Krein)

@@ -92,6 +92,12 @@ def parse_newick(s: str) -> TreeNode:
         node = TreeNode()
         while pos < len(s) and s[pos].isspace():
             pos += 1
+        # labels may precede the taxon name (e.g. '#2 2' in the reference's
+        # abglobin.trees); consume leading annotations
+        while pos < len(s) and s[pos] in "#$@":
+            pos = _parse_suffix(node, s, pos)
+            while pos < len(s) and s[pos].isspace():
+                pos += 1
         if s[pos] == "(":
             pos += 1
             while True:
@@ -134,28 +140,33 @@ def read_trees(path: str, names: list[str] | None = None) -> list[TreeNode]:
     trees.  Numeric taxon labels are resolved to names via `names`."""
     with open(path) as f:
         text = f.read()
-    # strip [...] comments that span the whole file (but keep per-node ones:
-    # handled inline by the parser) -- PAML treats '[...]' before trees as
-    # comments.
-    chunks = [c for c in text.split(";")]
-    trees: list[TreeNode] = []
-    first = True
-    for chunk in chunks:
-        c = chunk.strip()
-        if not c:
+    # strip C/C++-style comments (the reference's example tree files carry
+    # '/* ... */', '/ * ... */' and '// ...' annotations that its scanner
+    # skips by searching for '(')
+    text = re.sub(r"/\s*\*.*?\*\s*/", " ", text, flags=re.S)
+    text = re.sub(r"//[^\n]*", " ", text)
+
+    # optional header: 'ns ntree' or just 'ntree'
+    ntree = None
+    lines = text.splitlines()
+    for i, line in enumerate(lines):
+        t = line.strip()
+        if not t:
             continue
-        if first:
-            # drop an optional header line of integers ('ns ntree')
-            lines = c.splitlines()
-            while lines and re.fullmatch(r"[\s\d]*", lines[0]) and "(" not in lines[0]:
-                lines = lines[1:]
-            c = "\n".join(lines).strip()
-            first = False
-            if not c:
-                continue
+        m = re.fullmatch(r"(\d+)(?:\s+(\d+))?", t)
+        if m:
+            ntree = int(m.group(2)) if m.group(2) else int(m.group(1))
+            text = "\n".join(lines[i + 1:])
+        break
+
+    trees: list[TreeNode] = []
+    for chunk in text.split(";"):
+        if ntree is not None and len(trees) >= ntree:
+            break
+        c = chunk.strip()
         if "(" not in c:
             continue
-        c = c[c.index("("):] if not c.startswith("(") else c
+        c = c[c.index("("):]
         tree = parse_newick(c)
         if names is not None:
             _resolve_names(tree, names)

@@ -1,0 +1,201 @@
+"""Codon substitution models (the codeml codon family).
+
+TPU-first design: the codon graph (which sense-codon pairs differ at one
+position, transition vs transversion, synonymous vs not) is precomputed
+once per genetic code as static index arrays; Q construction is then a
+vectorized scatter, and NSsites class matrices are formed as
+Q_k = Qsyn + omega_k * Qnonsyn (the mean rate is linear in omega, so all
+class normalizations come from two flux scalars).  This replaces the
+reference's per-call i/j/ndiff triple loop in `eigenQcodon`
+(src/codeml.c:3229-3310).
+
+Frequency models (reference enum, src/codeml.c:215): Fequal F1x4 F3x4
+Fcodon F1x4MG F3x4MG FMutSel0 FMutSel; data-derived frequencies follow
+`InitializeCodon` (src/codeml.c:3772: pooled counts over species/genes);
+Muse-Gaut multipliers follow `GetMutationMultiplier` (src/codeml.c:3060).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import geneticcode_table, sense_codons
+
+CODON_FREQ_MODELS = ["Fequal", "F1x4", "F3x4", "Fcodon",
+                     "F1x4MG", "F3x4MG", "FMutSel0", "FMutSel"]
+
+
+@dataclass(frozen=True)
+class CodonGraph:
+    icode: int
+    n: int                     # number of sense codons
+    sense: np.ndarray          # [n] codon index 0..63
+    aa: np.ndarray             # [n] amino-acid index
+    pos_nt: np.ndarray         # [n, 3] nucleotide (TCAG idx) at each position
+    # single-difference pairs, i < j (indices into the sense list):
+    pi_idx: np.ndarray         # [m]
+    pj_idx: np.ndarray         # [m]
+    pos: np.ndarray            # [m] changed codon position 0..2
+    nt_i: np.ndarray           # [m] nucleotide in codon i at pos
+    nt_j: np.ndarray           # [m]
+    is_ts: np.ndarray          # [m] transition?
+    gtr_class: np.ndarray      # [m] 0..5 = TC TA TG CA CG AG
+    is_syn: np.ndarray         # [m]
+    # unchanged positions (for Muse-Gaut multipliers): values and which row
+    unch_pos: np.ndarray       # [m, 2] codon-position index of unchanged
+    unch_nt: np.ndarray        # [m, 2] nucleotide at those positions
+
+
+@lru_cache(maxsize=None)
+def codon_graph(icode: int = 0) -> CodonGraph:
+    sense = sense_codons(icode)
+    tab = geneticcode_table(icode)
+    n = len(sense)
+    pos_nt = np.stack([sense // 16, (sense // 4) % 4, sense % 4], axis=1)
+    aa = tab[sense]
+
+    pi_l, pj_l, pos_l, nti_l, ntj_l = [], [], [], [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            diff = np.nonzero(pos_nt[i] != pos_nt[j])[0]
+            if len(diff) != 1:
+                continue
+            p = int(diff[0])
+            pi_l.append(i)
+            pj_l.append(j)
+            pos_l.append(p)
+            nti_l.append(int(pos_nt[i, p]))
+            ntj_l.append(int(pos_nt[j, p]))
+    pi_idx = np.array(pi_l, dtype=np.int32)
+    pj_idx = np.array(pj_l, dtype=np.int32)
+    pos = np.array(pos_l, dtype=np.int32)
+    nt_i = np.array(nti_l, dtype=np.int32)
+    nt_j = np.array(ntj_l, dtype=np.int32)
+    # transitions: T<->C (0,1) or A<->G (2,3)
+    s = nt_i + nt_j
+    is_ts = (s == 1) | (s == 5)
+    # GTR class by sorted changed pair: TC TA TG CA CG AG
+    lo = np.minimum(nt_i, nt_j)
+    hi = np.maximum(nt_i, nt_j)
+    gtr_map = {(0, 1): 0, (0, 2): 1, (0, 3): 2, (1, 2): 3, (1, 3): 4, (2, 3): 5}
+    gtr_class = np.array([gtr_map[(int(a), int(b))] for a, b in zip(lo, hi)],
+                         dtype=np.int32)
+    is_syn = aa[pi_idx] == aa[pj_idx]
+    other = np.array([[1, 2], [2, 0], [0, 1]], dtype=np.int32)
+    unch_pos = other[pos]                                   # [m, 2]
+    unch_nt = pos_nt[pi_idx[:, None], unch_pos]             # [m, 2]
+    return CodonGraph(icode=icode, n=n, sense=sense, aa=aa, pos_nt=pos_nt,
+                      pi_idx=pi_idx, pj_idx=pj_idx, pos=pos,
+                      nt_i=nt_i, nt_j=nt_j, is_ts=np.asarray(is_ts),
+                      gtr_class=gtr_class, is_syn=np.asarray(is_syn),
+                      unch_pos=unch_pos, unch_nt=unch_nt)
+
+
+# ---------------------------------------------------------------------------
+# codon frequencies from data (reference: InitializeCodon, src/codeml.c:3772)
+# ---------------------------------------------------------------------------
+
+def count_codon_freqs(tip_partials: np.ndarray, fpatt: np.ndarray,
+                      graph: CodonGraph):
+    """Pooled codon counts over all species/sites -> (fcodon [n],
+    f3x4 [3, 4], f1x4 [4]).  Ambiguous sites (non-single state sets) are
+    ignored, matching the reference's first pass."""
+    resolved = tip_partials.sum(-1) == 1
+    w = tip_partials * (resolved[..., None] * fpatt[None, :, None])
+    fcodon = w.sum((0, 1))
+    tot = fcodon.sum()
+    fcodon = fcodon / max(tot, 1e-300)
+    f3x4 = np.zeros((3, 4))
+    for p in range(3):
+        for b in range(4):
+            f3x4[p, b] = fcodon[graph.pos_nt[:, p] == b].sum()
+    f1x4 = f3x4.mean(0)
+    f1x4 = f1x4 / f1x4.sum()
+    for p in range(3):
+        f3x4[p] /= f3x4[p].sum()
+    return fcodon, f3x4, f1x4
+
+
+def codon_pi(codonf: str, fcodon, f3x4, f1x4, graph: CodonGraph) -> np.ndarray:
+    """Equilibrium codon frequencies under the frequency model."""
+    n = graph.n
+    if codonf == "Fequal":
+        pi = np.full(n, 1.0 / n)
+    elif codonf in ("Fcodon", "FMutSel0", "FMutSel"):
+        pi = np.asarray(fcodon, dtype=np.float64).copy()
+    elif codonf in ("F3x4", "F3x4MG"):
+        pi = (f3x4[0][graph.pos_nt[:, 0]] * f3x4[1][graph.pos_nt[:, 1]]
+              * f3x4[2][graph.pos_nt[:, 2]])
+    elif codonf in ("F1x4", "F1x4MG"):
+        pi = (f1x4[graph.pos_nt[:, 0]] * f1x4[graph.pos_nt[:, 1]]
+              * f1x4[graph.pos_nt[:, 2]])
+    else:
+        raise ValueError(f"unknown codonf {codonf}")
+    return pi / pi.sum()
+
+
+def mg_pf3x4(codonf: str, f3x4, f1x4) -> np.ndarray | None:
+    """Position-specific frequency table used by the Muse-Gaut multiplier.
+    F1x4MG/FMutSel use the position-averaged table (reference writes the
+    1x4 table into all three rows, src/codeml.c:3884-3893)."""
+    if codonf in ("F3x4MG",):
+        return np.asarray(f3x4)
+    if codonf in ("F1x4MG", "FMutSel0", "FMutSel"):
+        return np.tile(np.asarray(f1x4)[None, :], (3, 1))
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Q construction
+# ---------------------------------------------------------------------------
+
+def mutation_part(graph: CodonGraph, kappa, pf3x4=None, hkyrev: bool = False,
+                  dtype=jnp.float64):
+    """Symmetric mutation exchangeabilities s[m] for the 1-difference pairs.
+
+    kappa: scalar HKY kappa, or [5] GTR rates (TC TA TG CA CG, AG=1).
+    pf3x4: [3,4] table for Muse-Gaut multipliers (None for plain F models).
+    """
+    m = len(graph.pi_idx)
+    if hkyrev:
+        rates6 = jnp.concatenate([jnp.asarray(kappa, dtype).reshape(-1),
+                                  jnp.ones((1,), dtype)])
+        s = rates6[graph.gtr_class]
+    else:
+        k = jnp.asarray(kappa, dtype).reshape(())
+        s = jnp.where(jnp.asarray(graph.is_ts), k, 1.0)
+    if pf3x4 is not None:
+        pf = jnp.asarray(pf3x4, dtype)
+        f1 = pf[graph.unch_pos[:, 0], graph.unch_nt[:, 0]]
+        f2 = pf[graph.unch_pos[:, 1], graph.unch_nt[:, 1]]
+        s = s / (f1 * f2)
+    return s
+
+
+def flux(graph: CodonGraph, s, pi):
+    """Synonymous and nonsynonymous flux at omega=1:
+    mr(Q(omega)) = rs + omega * ra."""
+    contrib = s * (pi[graph.pi_idx] * pi[graph.pj_idx]) * 2.0
+    syn = jnp.asarray(graph.is_syn)
+    rs = jnp.sum(jnp.where(syn, contrib, 0.0))
+    ra = jnp.sum(jnp.where(syn, 0.0, contrib))
+    return rs, ra
+
+
+def build_Q(graph: CodonGraph, s, omega, pi, dtype=jnp.float64):
+    """Unnormalized Q (off-diagonals + diagonal).  omega scalar."""
+    n = graph.n
+    vals = s * jnp.where(jnp.asarray(graph.is_syn), 1.0, omega)
+    Q = jnp.zeros((n, n), dtype)
+    Q = Q.at[graph.pi_idx, graph.pj_idx].set(vals * pi[graph.pj_idx])
+    Q = Q.at[graph.pj_idx, graph.pi_idx].set(vals * pi[graph.pi_idx])
+    Q = Q - jnp.diag(jnp.sum(Q, axis=1))
+    return Q
+
+
+def mean_rate(graph: CodonGraph, s, omega, pi):
+    rs, ra = flux(graph, s, pi)
+    return rs + omega * ra
