@@ -322,7 +322,9 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
             return W, p, "mixture"
         raise ValueError(f"model {spec.model} with NSsites {NS}")
 
-    def neg_lnl(x):
+    def neg_lnl_data(x, tips_a, fpatt_a):
+        """Objective with the data as explicit arguments (for sharded /
+        multi-device execution where tips/fpatt carry shardings)."""
         x = x.astype(dtype)
         t, kappa, theta = unpack(x)
         W, freqs, scale_mode = classes_for(theta)
@@ -346,7 +348,11 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
         node_type = btype_j if Bc > 1 else jnp.zeros((nnode,), jnp.int64)
         P = P_all[jnp.arange(nnode), node_type]             # [nnode, K, n, n]
         piC = jnp.broadcast_to(pi, (K, graph.n))
-        return -pruning.lnL(P, tips, topo, piC, freqs, fpatt)
+        return -pruning.lnL(P, tips_a, topo, piC, freqs, fpatt_a)
+
+    def neg_lnl(x):
+        return neg_lnl_data(x, tips, fpatt)
+    neg_lnl.with_data = neg_lnl_data
 
     # x0 / bounds
     t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)

@@ -1,0 +1,52 @@
+"""Device-mesh sharding of the likelihood over site patterns.
+
+The reference is single-threaded (SURVEY.md section 2.3); every parallel
+axis here is new design.  The scaling model: the site-pattern axis is pure
+data parallelism (per-pattern likelihoods are independent; the only
+cross-pattern operation is the final fpatt-weighted reduction), so we lay
+patterns out across a 1-D "data" mesh axis, replicate parameters, and let
+XLA turn the final reduction into a psum over ICI.  Larger runs add a
+"loci" axis for multi-locus dating (mcmctree) batched on a second mesh
+dimension.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def pad_patterns(tip_partials: np.ndarray, fpatt: np.ndarray, n_shards: int):
+    """Pad the pattern axis to a multiple of the mesh size.  Padding
+    patterns get all-ones tip partials (positive site likelihood) and zero
+    weight, so they contribute exactly nothing to lnL."""
+    H = tip_partials.shape[1]
+    Hpad = (-H) % n_shards
+    if Hpad == 0:
+        return tip_partials, fpatt
+    ns, _, n = tip_partials.shape
+    tp = np.concatenate(
+        [tip_partials, np.ones((ns, Hpad, n), tip_partials.dtype)], axis=1)
+    fp = np.concatenate([fpatt, np.zeros(Hpad, fpatt.dtype)])
+    return tp, fp
+
+
+def shard_data(mesh: Mesh, tip_partials, fpatt, axis: str = "data"):
+    """Place (tips [ns, H, n], fpatt [H]) with H sharded over the mesh."""
+    tp, fp = pad_patterns(np.asarray(tip_partials), np.asarray(fpatt),
+                          int(np.prod(mesh.devices.shape)))
+    s_tips = NamedSharding(mesh, P(None, axis, None))
+    s_f = NamedSharding(mesh, P(axis))
+    return jax.device_put(jnp.asarray(tp), s_tips), \
+        jax.device_put(jnp.asarray(fp), s_f)
+
+
+def replicate(mesh: Mesh, tree):
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), s), tree)
