@@ -51,6 +51,8 @@ class CodemlSpec:
     kappa: float = 2.0
     fix_omega: bool = False
     omega: float = 0.4
+    fix_alpha: bool = True
+    alpha: float = 0.0
     cleandata: bool = False
     hkyREV: bool = False
     getSE: bool = False
@@ -393,13 +395,83 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
     return neg_lnl, unpack, classes_for, np.array(x0), bounds, pi_np
 
 
+def make_aa_objective(data: seqio.PackedData, topo: Topology,
+                      spec: CodemlSpec, dtype=jnp.float64):
+    """Amino-acid likelihood (reference: eigenQaa, src/codeml.c:3400;
+    lfun/lfundG over 20 states).  Optional discrete-gamma rates via ncatG
+    (aaml's fix_alpha/alpha)."""
+    from ..core.dgamma import discrete_gamma
+    from ..models import aa as aamod
+
+    S, pi_np = aamod.model_S_pi(spec.aa_model, spec.aa_rate_file,
+                                data.base_freqs)
+    pi = jnp.asarray(pi_np, dtype)
+    Q = jnp.asarray(np.asarray(aamod.build_aa_Q(S, pi_np)), dtype)
+    tips = jnp.asarray(data.tip_partials, dtype)
+    fpatt = jnp.asarray(data.fpatt, dtype)
+    branch_nodes = topo.branch_nodes()
+    nb = len(branch_nodes)
+    bn = jnp.asarray(branch_nodes)
+    nnode = topo.nnode
+    use_gamma = (not spec.fix_alpha) or spec.alpha > 0
+    K = spec.ncatG if use_gamma else 1
+    est_alpha = use_gamma and not spec.fix_alpha
+
+    def unpack(x):
+        t = x[:nb]
+        alpha = x[nb] if est_alpha else jnp.asarray(max(spec.alpha, 0.5), dtype)
+        return t, alpha
+
+    def neg_lnl(x):
+        x = x.astype(dtype)
+        t, alpha = unpack(x)
+        if K > 1:
+            r, w = discrete_gamma(alpha, K)
+        else:
+            r = jnp.ones((1,), dtype)
+            w = jnp.ones((1,), dtype)
+        tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
+        ts = tfull[:, None] * r[None, :]
+        P = pmat_rev(Q, pi, ts)
+        piC = jnp.broadcast_to(pi, (K, 20))
+        return -pruning.lnL(P, tips, topo, piC, w, fpatt)
+
+    t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
+    if not (t0 > 0).any():
+        t0 = np.full(nb, 0.1)
+    t0 = np.maximum(t0, BLEN_MIN * 2)
+    x0 = list(t0)
+    bounds = [(BLEN_MIN, BLEN_MAX)] * nb
+    if est_alpha:
+        x0.append(spec.alpha if spec.alpha > 0 else 0.5)
+        bounds.append((0.005, 99.0))
+    return neg_lnl, unpack, np.array(x0), bounds, pi_np
+
+
+def fit_aa_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
+                  dtype=jnp.float64) -> CodemlResult:
+    neg_lnl, unpack, x0, bounds, pi_np = \
+        make_aa_objective(data, topo, spec, dtype)
+    res = maximize(neg_lnl, x0, bounds)
+    t, alpha = unpack(jnp.asarray(res.x))
+    return CodemlResult(
+        lnL=res.lnL, np=len(res.x), blens=np.asarray(t),
+        branch_nodes=topo.branch_nodes(), kappa=np.zeros(0),
+        params={"alpha": float(alpha)}, pi=pi_np, topo=topo, fit=res,
+        x=np.asarray(res.x), spec=spec)
+
+
 def fit(seqfile: str, treefile: str, spec: CodemlSpec | None = None,
         tree_index: int = 0, dtype=jnp.float64) -> CodemlResult:
     spec = spec or CodemlSpec()
-    aln = seqio.read_alignment(seqfile, seqio.CODON_SEQ)
+    seqtype = seqio.AA_SEQ if spec.seqtype == 2 else (
+        seqio.CODON2AA_SEQ if spec.seqtype == 3 else seqio.CODON_SEQ)
+    aln = seqio.read_alignment(seqfile, seqtype)
     data = seqio.pack(aln, cleandata=spec.cleandata, icode=spec.icode)
     trees = treeio.read_trees(treefile, data.names)
     topo = from_treenode(trees[tree_index], data.names)
+    if spec.seqtype in (2, 3):
+        return fit_aa_packed(data, topo, spec, dtype=dtype)
     return fit_packed(data, topo, spec, dtype=dtype)
 
 
