@@ -1,0 +1,216 @@
+"""Command-line front end with reference-compatible control files.
+
+Usage:
+  python -m paml_tpu baseml  [baseml.ctl]
+  python -m paml_tpu codeml  [codeml.ctl]
+  python -m paml_tpu yn00    [yn00.ctl]
+  python -m paml_tpu chi2    [df stat]        # LRT p-values (reference chi2)
+  python -m paml_tpu evolver <mode> <datfile> # simulation
+
+Mirrors the reference programs' invocation (e.g. `codeml codeml.ctl`);
+default ctl names match the reference (codeml.ctl, baseml.ctl, yn00.ctl).
+"""
+from __future__ import annotations
+
+import sys
+
+
+def _write_tree_with_blens(topo, blens_by_node, names=True):
+    from .io.treeio import TreeNode
+
+    def build(i: int) -> str:
+        kids = [c for c in topo.children[i] if c >= 0]
+        if not kids:
+            label = topo.node_names[i] if names else str(i + 1)
+        else:
+            label = "(" + ", ".join(build(c) for c in kids) + ")"
+        if i in blens_by_node:
+            label += f": {blens_by_node[i]:.6f}"
+        return label
+
+    return build(topo.root) + ";"
+
+
+def run_baseml(ctl_path: str) -> None:
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    from .apps import baseml
+    from .io import ctl as ctlmod
+    from .io import seqio, treeio
+    from .core.topology import from_treenode
+
+    opts = ctlmod.read_ctl(ctl_path)
+    spec, seqfile, treefile, outfile, extras = ctlmod.baseml_spec(opts, ctl_path)
+    aln = seqio.read_alignment(seqfile, seqio.BASE_SEQ)
+    data = seqio.pack(aln, cleandata=spec.cleandata)
+    trees = treeio.read_trees(treefile, data.names)
+    with open(outfile, "w") as out:
+        out.write(f"BASEML (paml_tpu) {seqfile}  model {spec.model}\n")
+        out.write(f"ns = {data.ns}  ls = {data.ls}  npatt = {data.npatt}\n")
+        for itree, tree in enumerate(trees):
+            topo = from_treenode(tree, data.names)
+            res = baseml.fit_packed(data, topo, spec)
+            bl = dict(zip(res.branch_nodes.tolist(), res.blens.tolist()))
+            out.write(f"\nTREE # {itree + 1}\n")
+            out.write(f"lnL(ntime: {len(res.blens)}  np: {res.np}): "
+                      f"{res.lnL:.6f}\n")
+            out.write(_write_tree_with_blens(res.topo, bl) + "\n")
+            if res.rate_params.size:
+                out.write("rate parameters: "
+                          + " ".join(f"{v:.6f}" for v in res.rate_params) + "\n")
+            if res.alpha is not None:
+                out.write("alpha = "
+                          + " ".join(f"{a:.5f}" for a in res.alpha) + "\n")
+            if (res.rgene.size > 1):
+                out.write("rgene: "
+                          + " ".join(f"{v:.5f}" for v in res.rgene) + "\n")
+            if res.SEs is not None:
+                out.write("SEs: " + " ".join(f"{v:.6f}" for v in res.SEs) + "\n")
+            print(f"tree {itree + 1}: lnL = {res.lnL:.6f}")
+    print(f"results written to {outfile}")
+
+
+def run_codeml(ctl_path: str) -> None:
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    from .apps import baseml  # noqa: F401  (shared config)
+    from .apps import beb as bebmod
+    from .apps import codeml
+    from .io import ctl as ctlmod
+    from .io import seqio, treeio
+    from .core.topology import from_treenode
+
+    opts = ctlmod.read_ctl(ctl_path)
+    spec, seqfile, treefile, outfile, extras = ctlmod.codeml_spec(opts, ctl_path)
+    seqtype = (seqio.AA_SEQ if spec.seqtype == 2 else
+               seqio.CODON2AA_SEQ if spec.seqtype == 3 else seqio.CODON_SEQ)
+    aln = seqio.read_alignment(seqfile, seqtype)
+    data = seqio.pack(aln, cleandata=spec.cleandata, icode=spec.icode)
+    trees = treeio.read_trees(treefile, data.names)
+    ns_list = extras["NSsites_list"] or [spec.NSsites]
+    import dataclasses
+    with open(outfile, "w") as out:
+        out.write(f"CODEML (paml_tpu) {seqfile}\n")
+        out.write(f"ns = {data.ns}  ls = {data.ls}  npatt = {data.npatt}\n")
+        for ns_model in ns_list:
+            sp = dataclasses.replace(spec, NSsites=ns_model)
+            for itree, tree in enumerate(trees):
+                topo = from_treenode(tree, data.names)
+                if sp.seqtype in (2, 3):
+                    res = codeml.fit_aa_packed(data, topo, sp)
+                else:
+                    res = codeml.fit_packed(data, topo, sp)
+                bl = dict(zip(res.branch_nodes.tolist(), res.blens.tolist()))
+                out.write(f"\nModel NSsites={ns_model}  TREE # {itree + 1}\n")
+                out.write(f"lnL(ntime: {len(res.blens)}  np: {res.np}): "
+                          f"{res.lnL:.6f}\n")
+                out.write(_write_tree_with_blens(res.topo, bl) + "\n")
+                if res.kappa.size:
+                    out.write("kappa = "
+                              + " ".join(f"{k:.5f}" for k in res.kappa) + "\n")
+                if res.class_omegas is not None and sp.seqtype == 1:
+                    import numpy as np
+                    out.write("omega classes: "
+                              + np.array2string(res.class_omegas,
+                                                precision=5) + "\n")
+                    out.write("class freqs:   "
+                              + np.array2string(res.class_freqs,
+                                                precision=5) + "\n")
+                if (sp.seqtype == 1 and sp.model == 0
+                        and ns_model in (2, 8) and itree == 0):
+                    spbeb = bebmod.beb(data, topo, sp, res)
+                    sites = bebmod.positive_sites(data, spbeb, 0.5)
+                    out.write("BEB positively selected sites "
+                              "(P>0.5; * P>0.95, ** P>0.99):\n")
+                    for s, p, w in sites:
+                        h = data.site_pattern[s - 1]
+                        star = ("**" if p > 0.99 else
+                                "*" if p > 0.95 else "")
+                        out.write(f"  {s:5d}  {p:.3f}{star:2s}  "
+                                  f"{w:.3f} +- {spbeb.se_w[h]:.3f}\n")
+                print(f"NSsites={ns_model} tree {itree + 1}: "
+                      f"lnL = {res.lnL:.6f}")
+    print(f"results written to {outfile}")
+
+
+def run_yn00(ctl_path: str) -> None:
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    from .apps import yn00
+    from .io import ctl as ctlmod
+
+    opts = ctlmod.yn00_opts(ctlmod.read_ctl(ctl_path), ctl_path)
+    results = yn00.run(opts["seqfile"], icode=opts["icode"],
+                       weighting=opts["weighting"],
+                       common_f3x4=opts["common_f3x4"])
+    with open(opts["outfile"], "w") as out:
+        out.write("YN00 (paml_tpu)\n\n")
+        out.write("Nei & Gojobori 1986. dN/dS (dN, dS)\n")
+        for r in results:
+            out.write(f"{r.i + 1:4d} vs {r.j + 1:4d}: "
+                      f"{r.ng_dN / r.ng_dS if r.ng_dS > 0 else -1:.4f} "
+                      f"({r.ng_dN:.4f} {r.ng_dS:.4f})\n")
+        out.write("\nYang & Nielsen (2000)\n")
+        out.write("seq seq      S       N      t    kappa   omega   "
+                  "dN +- SE     dS +- SE\n")
+        for r in results:
+            out.write(f"{r.i + 1:4d}{r.j + 1:4d} {r.S:8.1f}{r.N:8.1f}"
+                      f"{r.t:8.4f}{r.kappa:8.4f}{r.omega:8.4f} "
+                      f"{r.dN:7.4f} +- {r.SEdN:6.4f} "
+                      f"{r.dS:7.4f} +- {r.SEdS:6.4f}\n")
+        out.write("\nLWL85 family\n")
+        for r in results:
+            l = r.lwl
+            out.write(f"{r.i + 1:4d} vs {r.j + 1:4d}  "
+                      f"LWL85 dS {l['LWL85']['dS']:.4f} dN {l['LWL85']['dN']:.4f}  "
+                      f"LWL85m dS {l['LWL85m']['dS']:.4f} dN {l['LWL85m']['dN']:.4f}  "
+                      f"LPB93 dS {l['LPB93']['dS']:.4f} dN {l['LPB93']['dN']:.4f}\n")
+    print(f"results written to {opts['outfile']}")
+
+
+def run_chi2(args: list[str]) -> None:
+    """LRT chi-square p-values (reference: src/chi2.c)."""
+    from scipy.stats import chi2 as chi2_dist
+    if len(args) >= 2:
+        df, stat = int(args[0]), float(args[1])
+        p = chi2_dist.sf(stat, df)
+        print(f"df = {df}  prob = {p:.9g} = {p:.6e}")
+    else:
+        # critical value table like the reference's interactive mode
+        print("df      0.950    0.990    0.999")
+        for df in list(range(1, 11)) + [20, 50, 100]:
+            row = "  ".join(f"{chi2_dist.isf(a, df):8.4f}"
+                            for a in (0.05, 0.01, 0.001))
+            print(f"{df:3d}  {row}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return
+    prog, *rest = argv
+    if prog == "baseml":
+        run_baseml(rest[0] if rest else "baseml.ctl")
+    elif prog == "codeml":
+        run_codeml(rest[0] if rest else "codeml.ctl")
+    elif prog == "yn00":
+        run_yn00(rest[0] if rest else "yn00.ctl")
+    elif prog == "chi2":
+        run_chi2(rest)
+    elif prog == "evolver":
+        from .apps.evolver import main as evolver_main
+        evolver_main(rest)
+    elif prog == "mcmctree":
+        from .apps.mcmctree import main as mcmctree_main
+        mcmctree_main(rest)
+    else:
+        print(f"unknown program {prog!r}\n{__doc__}")
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()
