@@ -1,0 +1,1083 @@
+"""mcmctree: Bayesian divergence-time estimation.
+
+Counterpart of the reference program (src/mcmctree.c): birth-death-
+sampling time prior with fossil calibrations (soft bounds, gamma,
+skew-normal/t densities), clock models 1/2/3 (strict, independent
+log-normal, geometric Brownian), gamma-Dirichlet locus-rate priors,
+exact (usedata=1) and approximate (usedata=2, dos Reis & Yang 2011)
+likelihoods, and in.BV generation (usedata=3) — here by exact autodiff
+gradients/Hessians instead of the reference's finite differences.
+
+MCMC: Bactrian proposals in log space with boundary reflection, the five
+reference proposal blocks (times, mu/sigma2, branch rates, substitution
+parameters, mixing), and burn-in step-length adaptation to Pjump 0.3
+(Yang & Rodriguez 2013).  Reference call stack: MCMC(), src/mcmctree.c:4459.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.topology import Topology, from_treenode
+from ..io import seqio, treeio
+
+# ---------------------------------------------------------------------------
+# calibration densities (reference: lnptCalibrationDensity, mcmctree.c:2924)
+# ---------------------------------------------------------------------------
+
+
+def _ln_calibration_density(t, kind, p):
+    if kind == "L":
+        a, P, c, tailL = p
+        t0 = a * (1 + P)
+        s = a * c
+        A = 0.5 + 1 / math.pi * math.atan(P / c)
+        if t > a:
+            z = (t - t0) / s
+            return math.log((1 - tailL) / (math.pi * A * s * (1 + z * z)))
+        z = P / c
+        thetaL = (1 / tailL - 1) / (math.pi * A * c * (1 + z * z))
+        return math.log(tailL * thetaL / a) + (thetaL - 1) * math.log(t / a)
+    if kind == "U":
+        b, tailR = p
+        if t < b:
+            return math.log((1 - tailR) / b)
+        thetaR = (1 - tailR) / (tailR * b)
+        return math.log(tailR * thetaR) - thetaR * (t - b)
+    if kind == "B":
+        a, b, tailL, tailR = p
+        if a < t < b:
+            return math.log((1 - tailL - tailR) / (b - a))
+        if t < a:
+            thetaL = (1 - tailL - tailR) * a / (tailL * (b - a))
+            return (math.log(tailL * thetaL / a)
+                    + (thetaL - 1) * math.log(t / a))
+        thetaR = (1 - tailL - tailR) / (tailR * (b - a))
+        return math.log(tailR * thetaR) - thetaR * (t - b)
+    if kind == "G":
+        a, b = p[:2]
+        return a * math.log(b) - b * t + (a - 1) * math.log(t) - math.lgamma(a)
+    if kind == "SN":
+        loc, scale, shape = p[:3]
+        z = (t - loc) / scale
+        return (math.log(2 / scale) - 0.5 * z * z - 0.5 * math.log(2 * math.pi)
+                + _ln_norm_cdf(shape * z))
+    if kind == "ST":
+        loc, scale, shape, df = p[:4]
+        from scipy.stats import t as tdist
+        z = (t - loc) / scale
+        pdf = (2 / scale * tdist.pdf(z, df)
+               * tdist.cdf(shape * z * math.sqrt((df + 1) / (df + z * z)),
+                           df + 1))
+        return math.log(max(pdf, 1e-300))
+    raise ValueError(f"calibration kind {kind}")
+
+
+def _ln_norm_cdf(x):
+    from scipy.stats import norm
+    return norm.logcdf(x)
+
+
+def _fill_defaults(kind, params):
+    """Fill reference default tail probabilities / parameters."""
+    p = list(params)
+    if kind == "L":                  # L(a, p=0.1, c=1, tailL=0.025)
+        while len(p) < 4:
+            p.append([None, 0.1, 1.0, 0.025][len(p)])
+    elif kind == "U":                # U(b, tailR=0.025)
+        while len(p) < 2:
+            p.append(0.025)
+    elif kind == "B":                # B(a, b, tailL=0.025, tailR=0.025)
+        while len(p) < 4:
+            p.append(0.025)
+    return kind, p
+
+
+# ---------------------------------------------------------------------------
+# BDS kernel (reference: mcmctree.c:2700-2784)
+# ---------------------------------------------------------------------------
+
+
+def _p0t(expmlt, lam, mu, rho):
+    return rho * (lam - mu) / (rho * lam + (lam * (1 - rho) - mu) * expmlt)
+
+
+def _bds_pdf_ln(t, t1, vt1, lam, mu, rho):
+    small = 1e-20
+    if abs(mu - lam) < small:
+        return math.log((1 + rho * lam * t1)
+                        / (t1 * (1 + rho * lam * t) ** 2))
+    expmlt = math.exp((mu - lam) * t)
+    p0 = _p0t(expmlt, lam, mu, rho)
+    return math.log(p0 * p0 * lam / (vt1 * rho) * expmlt)
+
+
+def _bds_cdf(t, t1, vt1, lam, mu, rho):
+    small = 1e-20
+    if abs(lam - mu) < small:
+        return (1 + rho * lam * t1) * t / (t1 * (1 + rho * lam * t))
+    expmlt = math.exp((mu - lam) * t)
+    if expmlt < 1e10:
+        return (rho * lam / vt1 * (1 - expmlt)
+                / (rho * lam + (lam * (1 - rho) - mu) * expmlt))
+    expmlt = 1 / expmlt
+    return (rho * lam / vt1 * (expmlt - 1)
+            / (rho * lam * expmlt + (lam * (1 - rho) - mu)))
+
+
+# ---------------------------------------------------------------------------
+# species tree state
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SpeciesTree:
+    topo: Topology
+    calibrations: dict                 # node -> (kind, params)
+    root_age_prior: tuple | None       # (kind, params) used when root has none
+    bds: tuple = (1.0, 1.0, 0.1)       # lambda, mu, rho
+    multiplicative: bool = False       # BDS_flag: kernel on all nodes
+
+    @property
+    def ns(self):
+        return self.topo.ns
+
+    @property
+    def root(self):
+        return self.topo.root
+
+    def internal_nodes(self):
+        return list(range(self.topo.ns, self.topo.nnode))
+
+
+def build_species_tree(tree: treeio.TreeNode, names, bds=(1, 1, 0.1),
+                       root_age: str | None = None,
+                       multiplicative=False) -> SpeciesTree:
+    topo = from_treenode(tree, names)
+    cals = {}
+    for node in tree.walk_pre():
+        cal = treeio.parse_calibration(node.annotation)
+        if cal is not None:
+            cals[node.index] = _fill_defaults(*cal)
+    root_prior = None
+    if root_age:
+        cal = treeio.parse_calibration(root_age)
+        if cal is not None:
+            root_prior = _fill_defaults(*cal)
+    return SpeciesTree(topo=topo, calibrations=cals,
+                       root_age_prior=root_prior, bds=tuple(bds),
+                       multiplicative=multiplicative)
+
+
+def ln_prior_times(st: SpeciesTree, ages: np.ndarray) -> float:
+    """Reference lnpriorTimes = lnptC + lnptNCgiventC (mcmctree.c:3255)."""
+    topo = st.topo
+    root = st.root
+    t1 = ages[root]
+    lam, mu, rho = st.bds
+    lnpt = 0.0
+
+    # --- lnptC: calibration densities (incl. root) ---
+    for j in st.internal_nodes():
+        if j == root:
+            cal = st.calibrations.get(j)
+            if cal is None and st.root_age_prior is not None:
+                cal = st.root_age_prior
+            elif cal is not None and cal[0] == "L":
+                # root lower bound -> joint bounds with RootAge upper
+                if st.root_age_prior is not None:
+                    rb = st.root_age_prior[1]
+                    ub = rb[0] if st.root_age_prior[0] == "U" else rb[1]
+                    cal = ("B", [cal[1][0], ub, cal[1][3], 0.025])
+            if cal is not None:
+                lnpt += _ln_calibration_density(ages[j], cal[0], cal[1])
+            continue
+        cal = st.calibrations.get(j)
+        if cal is not None:
+            lnpt += _ln_calibration_density(ages[j], cal[0], cal[1])
+
+    # --- BDS kernel for (non-)calibration nodes ---
+    small = 1e-20
+    if abs(lam - mu) > small:
+        expmlt = math.exp((mu - lam) * t1)
+        p0t1 = _p0t(expmlt, lam, mu, rho)
+        vt1 = 1 - p0t1 / rho * expmlt
+    else:
+        p0t1 = rho / (1 + rho * mu * t1)
+        vt1 = mu * t1 * p0t1
+    noncal = [j for j in st.internal_nodes()
+              if j != root and (st.multiplicative
+                                or j not in st.calibrations)]
+    for j in noncal:
+        lnpt += _bds_pdf_ln(ages[j], t1, vt1, lam, mu, rho)
+    if st.multiplicative:
+        return lnpt
+
+    # conditional construction: divide by the marginal of calibration ages
+    # (eq. 9 in Yang & Rannala 2006; reference mcmctree.c:2850-2900)
+    tall = np.sort([ages[j] for j in st.internal_nodes()])
+    tc = np.sort([ages[j] for j in st.internal_nodes()
+                  if j != root and j in st.calibrations])
+    n1 = len(tall)
+    if len(tc):
+        ranktc = []
+        j = 0
+        for i, tci in enumerate(tc):
+            if i:
+                j = ranktc[i - 1] + 1
+            while j < n1 and tall[j] <= tci:
+                j += 1
+            ranktc.append(j)
+        rankprev, cdfprev = 0, 0.0
+        for i in range(len(tc) + 1):
+            if i < len(tc):
+                cdf = _bds_cdf(tc[i], t1, vt1, lam, mu, rho)
+                k = ranktc[i] - rankprev - 1
+            else:
+                cdf = 1.0
+                k = n1 - rankprev - 1
+            if k > 0:
+                if cdf <= cdfprev:
+                    return -np.inf
+                lnpt += math.lgamma(k + 1.0) - k * math.log(cdf - cdfprev)
+            rankprev = ranktc[i] if i < len(tc) else rankprev
+            cdfprev = cdf
+    return lnpt
+
+
+def ln_prior_rates(st: SpeciesTree, rates: np.ndarray, mu: np.ndarray,
+                   sigma2: np.ndarray, ages: np.ndarray, clock: int) -> float:
+    """Clock 2 (iid log-normal) and clock 3 (geometric Brownian) branch-rate
+    priors (reference: lnpriorRates, mcmctree.c:3751).  rates: [nnode, g]."""
+    topo = st.topo
+    g = rates.shape[1]
+    s = topo.ns
+    root = st.root
+    lnpR = -0.5 * math.log(2 * math.pi) * (2 * s - 2) * g
+    if clock == 2:
+        lnpR -= np.log(sigma2).sum() / 2.0 * (2 * s - 2)
+        for inode in range(topo.nnode):
+            if inode == root:
+                continue
+            r = rates[inode]
+            zz = np.log(r / mu) + sigma2 / 2
+            lnpR += float(np.sum(-zz * zz / (2 * sigma2) - np.log(r)))
+        return lnpR
+    if clock == 3:
+        for inode in range(topo.nnode):
+            kids = [c for c in topo.children[inode] if c >= 0]
+            if not kids:
+                continue
+            dad = topo.parent[inode]
+            t = ages[inode]
+            tA = 0.0 if inode == root else (ages[dad] - t) / 2
+            t1 = (t - ages[kids[0]]) / 2
+            t2 = (t - ages[kids[1]]) / 2
+            detT = t1 * t2 + tA * (t1 + t2)
+            if detT <= 0:
+                return -np.inf
+            Ti = np.array([(tA + t2), -tA, (tA + t1)]) / detT
+            rA = mu if inode == root else rates[inode]
+            r1, r2 = rates[kids[0]], rates[kids[1]]
+            y1 = np.log(r1 / rA) + (tA + t1) * sigma2 / 2
+            y2 = np.log(r2 / rA) + (tA + t2) * sigma2 / 2
+            zz = y1 * y1 * Ti[0] + 2 * y1 * y2 * Ti[1] + y2 * y2 * Ti[2]
+            lnpR -= float(np.sum(zz / (2 * sigma2)
+                                 + np.log(detT * sigma2 ** 2) / 2
+                                 + np.log(r1 * r2)))
+        return lnpR
+    return 0.0
+
+
+def ln_prior_gamma_dirichlet(para: np.ndarray, gD) -> float:
+    """Gamma-Dirichlet prior over locus parameters (dos Reis et al. 2014
+    eq. 5; reference acceptance terms in UpdateParaRates/mixing)."""
+    g = len(para)
+    a, b, ad = gD
+    s = float(para.sum())
+    return ((a - ad * g) * math.log(s) - (b / g) * s
+            + (ad - 1) * float(np.log(para).sum()))
+
+
+# ---------------------------------------------------------------------------
+# likelihoods
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ApproxLocus:
+    """(transformed) branch-length MLEs + gradient + Hessian for one locus
+    (reference: ReadBlengthGH, mcmctree.c:1266)."""
+    names: list[str]
+    topo: Topology                  # unrooted gene tree (from in.BV)
+    bl: np.ndarray                  # [nb] MLEs (transformed except log)
+    gradient: np.ndarray
+    hessian: np.ndarray
+    transform: str = "arcsin"       # 'none' | 'sqrt' | 'log' | 'arcsin'
+    ncode: int = 4
+
+    def transform_gh(self):
+        """Apply the branch-length transform to (bl, g, H) in place
+        (reference: ReadBlengthGH transform block)."""
+        b = self.bl
+        g = self.gradient.copy()
+        H = self.hessian.copy()
+        cJC = (self.ncode - 1.0) / self.ncode
+        if self.transform == "none":
+            return
+        if self.transform == "sqrt":
+            dbu = 2 * np.sqrt(b)
+            dbu2 = np.full_like(b, 2.0)
+        elif self.transform == "log":
+            bTlog, elog = 1e-5, 0.1
+            e = np.where(b < bTlog, elog, 0.0)
+            dbu = b + e
+            dbu2 = dbu.copy()
+        elif self.transform == "arcsin":
+            u = 2 * np.arcsin(np.sqrt(cJC - cJC * np.exp(-b / cJC)))
+            s2, c2 = np.sin(u / 2), np.cos(u / 2)
+            dbu = s2 * c2 / (1 - s2 * s2 / cJC)
+            dbu2 = ((c2 * c2 - s2 * s2) / 2 / (1 - s2 * s2 / cJC)
+                    + dbu * dbu / cJC)
+        else:
+            raise ValueError(self.transform)
+        H = H * dbu[:, None] * dbu[None, :]
+        H[np.diag_indices_from(H)] = (np.diag(self.hessian) * dbu * dbu
+                                      + self.gradient * dbu2)
+        g = g * dbu
+        if self.transform == "sqrt":
+            self.bl = np.sqrt(b)
+        elif self.transform == "arcsin":
+            self.bl = 2 * np.arcsin(np.sqrt(cJC - cJC * np.exp(-b / cJC)))
+        self.gradient, self.hessian = g, H
+
+
+def approx_lnL(locus: ApproxLocus, blens: np.ndarray) -> float:
+    """Taylor approximation at predicted branch lengths (reference:
+    lnpD_locus_Approx, mcmctree.c:1212)."""
+    b = blens
+    cJC = (locus.ncode - 1.0) / locus.ncode
+    if locus.transform == "log":
+        bTlog, elog = 1e-5, 0.1
+        e = np.where(locus.bl < bTlog, elog, 0.0)
+        z = np.log((b + e) / (locus.bl + e))
+    else:
+        if locus.transform == "sqrt":
+            z = np.sqrt(b)
+        elif locus.transform == "arcsin":
+            z = 2 * np.arcsin(np.sqrt(np.maximum(
+                cJC - cJC * np.exp(-b / cJC), 0.0)))
+        else:
+            z = b.copy()
+        z = z - locus.bl
+    return float(locus.gradient @ z + 0.5 * z @ locus.hessian @ z)
+
+
+def gene_branch_lengths(st: SpeciesTree, ages: np.ndarray,
+                        rates_or_mu, clock: int, locus: int,
+                        map_nodes=None) -> dict:
+    """Branch lengths b_i = sum of t_seg * r_seg down each branch
+    (reference: lnpD_locus, mcmctree.c:1143-1161).  With the gene tree
+    equal to the species tree, b_i = (t_dad - t_i) * r_i."""
+    topo = st.topo
+    out = {}
+    for i in range(topo.nnode):
+        if i == st.root:
+            continue
+        dt = ages[topo.parent[i]] - ages[i]
+        if clock == 1:
+            out[i] = dt * rates_or_mu[locus]
+        else:
+            out[i] = dt * rates_or_mu[i, locus]
+    return out
+
+
+def rooted_to_unrooted_blens(st: SpeciesTree, b_by_node: dict,
+                             branch_order: list) -> np.ndarray:
+    """Collapse the two root branches into one (placed on the first root
+    son) and return branch lengths in `branch_order` (list of species-tree
+    node ids with the root-merged branch marked as ('rootpair', son1))."""
+    out = np.zeros(len(branch_order))
+    for k, ref in enumerate(branch_order):
+        if isinstance(ref, tuple):
+            _, s1, s2 = ref
+            out[k] = b_by_node[s1] + b_by_node[s2]
+        else:
+            out[k] = b_by_node[ref]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# in.BV generation (usedata=3) — autodiff gradients & Hessians
+# ---------------------------------------------------------------------------
+
+
+def generate_BV(alignments, tree: treeio.TreeNode, names, model="HKY85",
+                ncatG=5, alpha0=0.5, fix_alpha=False, cleandata=False,
+                outfile="out.BV"):
+    """Fit each locus's unrooted branch lengths by ML and write MLEs,
+    gradient and Hessian in the reference in.BV format (reference does
+    this by running baseml with finite differences: GenerateBlengthGH,
+    mcmctree.c:1424; here gradient/Hessian come from autodiff)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .baseml import BasemlSpec, fit_packed, make_objective
+
+    lines = []
+    per_locus = []
+    for aln in alignments:
+        data = seqio.pack(aln, cleandata=cleandata)
+        # deroot species tree restricted to this locus's taxa
+        topo = from_treenode(tree, data.names)
+        from ..core.topology import deroot as _deroot
+        utopo = _deroot(topo)
+        spec = BasemlSpec(model=model, ncatG=ncatG, fix_alpha=fix_alpha,
+                          alpha=alpha0, cleandata=cleandata)
+        res = fit_packed(data, utopo, spec)
+        nb = len(utopo.branch_nodes())
+        # gradient/Hessian over the branch-length block only: rebuild the
+        # objective with kappa/alpha FIXED at their MLEs so that x = blens
+        # (also avoids second-order differentiation through gammaincinv,
+        # whose igamma a-derivative has no JAX second-order rule)
+        import dataclasses
+        kappa_mle = (float(res.rate_params[0]) if res.rate_params.size
+                     else spec.kappa)
+        alpha_mle = (float(res.alpha[0]) if res.alpha is not None
+                     else spec.alpha)
+        spec_fix = dataclasses.replace(
+            spec, fix_kappa=True, kappa=kappa_mle,
+            fix_alpha=True, alpha=alpha_mle)
+        neg2, *_ = make_objective(data, utopo, spec_fix)
+        tvec = jnp.asarray(res.x[:nb])
+
+        def lnl_of_blens(t):
+            return -neg2(t)
+
+        grad = np.asarray(jax.grad(lnl_of_blens)(tvec))
+        H = np.asarray(jax.hessian(lnl_of_blens)(tvec))
+        bl = res.blens
+        per_locus.append((data, utopo, bl, grad, H))
+
+        bl_by_node = dict(zip(utopo.branch_nodes().tolist(), bl.tolist()))
+        nwk = _tree_with_blens(utopo, bl_by_node)
+        lines.append(f"\n{data.ns}\n\n{nwk}\n\n")
+        lines.append(" ".join(f"{v:.6f}" for v in bl) + "\n\n")
+        lines.append(" ".join(f"{v:.6f}" for v in grad) + "\n\n")
+        lines.append("Hessian\n\n")
+        for row in H:
+            lines.append(" ".join(f"{v:.4f}" for v in row) + "\n")
+    with open(outfile, "w") as f:
+        f.writelines(lines)
+    return per_locus
+
+
+def _tree_with_blens(topo: Topology, bl: dict) -> str:
+    def build(i):
+        kids = [c for c in topo.children[i] if c >= 0]
+        s = (topo.node_names[i] if not kids
+             else "(" + ", ".join(build(c) for c in kids) + ")")
+        if i in bl:
+            s += f": {bl[i]:.6f}"
+        return s
+    return build(topo.root) + ";"
+
+
+# ---------------------------------------------------------------------------
+# the MCMC
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class McmcSpec:
+    clock: int = 2
+    usedata: int = 2
+    bds: tuple = (1.0, 1.0, 0.1)
+    multiplicative: bool = False
+    root_age: str | None = None
+    rgene_gamma: tuple = (2.0, 20.0, 1.0)
+    sigma2_gamma: tuple = (1.0, 10.0, 1.0)
+    kappa_gamma: tuple = (6.0, 2.0)
+    alpha_gamma: tuple = (1.0, 1.0)
+    model: str = "HKY85"           # usedata=1 substitution model
+    ncatG: int = 5
+    alpha: float = 0.5             # >0 turns on gamma rates (usedata=1)
+    burnin: int = 2000
+    sampfreq: int = 5
+    nsample: int = 10000
+    seed: int = 12345
+    cleandata: bool = False
+    transform: str = "arcsin"
+    finetune: tuple = (0.1, 0.1, 0.1, 0.1, 0.1)
+
+
+class _Bactrian:
+    m = 0.95
+    s = math.sqrt(1 - 0.95 ** 2)
+
+    def __init__(self, rng):
+        self.rng = rng
+
+    def __call__(self):
+        z = self.m + self.rng.standard_normal() * self.s
+        return -z if self.rng.random() < 0.5 else z
+
+
+def _reflect(x, a, b, rng):
+    if b - a < 1e-200:
+        raise ValueError("improper reflect range")
+    side = 0
+    e = 0.0
+    if x < a:
+        e, side = a - x, 0
+    elif x > b:
+        e, side = x - b, 1
+    if e:
+        n = math.floor(e / (b - a))
+        if n % 2 == 1:
+            side = 1 - side
+        e -= n * (b - a)
+        x = (b - e) if side else (a + e)
+    while x - a < 1e-200 or b - x < 1e-200:
+        x = a + (b - a) * rng.random()
+    return x
+
+
+class MCMCTree:
+    """Host-driven MCMC with vectorized likelihood kernels."""
+
+    def __init__(self, st: SpeciesTree, loci, spec: McmcSpec):
+        self.st = st
+        self.spec = spec
+        self.loci = loci               # list of ApproxLocus (usedata=2)
+                                       # or PackedData (usedata=1)
+        self.g = len(loci)
+        self.rng = np.random.default_rng(spec.seed)
+        self.bactrian = _Bactrian(self.rng)
+        topo = st.topo
+        self.n_int = topo.nnode - topo.ns
+        # branch order for approx loci: map species-tree branches onto the
+        # unrooted gene-tree branch vector
+        if spec.usedata == 2:
+            self.branch_orders = [self._match_branches(l) for l in loci]
+        self._init_state()
+        self._exact_cache = {}
+
+    # -- setup ---------------------------------------------------------
+
+    def _match_branches(self, locus: ApproxLocus):
+        """Map the locus's unrooted branch vector onto species-tree nodes.
+        Branch k of the gene tree (node above gene node) corresponds to a
+        species-tree node via tip-set identity; the root-adjacent branch of
+        the species tree maps to the merged pair."""
+        st = self.st
+        stopo = st.topo
+        gtopo = locus.topo
+        sdesc = stopo.tip_descendants()
+        sname = [frozenset(stopo.node_names[t] for t in sdesc[i])
+                 for i in range(stopo.nnode)]
+        gdesc = gtopo.tip_descendants()
+        all_tips = frozenset(n for n in gtopo.node_names[:gtopo.ns])
+        root_sons = [c for c in stopo.children[st.root] if c >= 0]
+        order = []
+        for gb in gtopo.branch_nodes():
+            tips = frozenset(gtopo.node_names[t] for t in gdesc[gb])
+            matched = None
+            for i in range(stopo.nnode):
+                if i == st.root:
+                    continue
+                if sname[i] == tips or sname[i] == all_tips - tips:
+                    matched = i
+                    break
+            if matched is None:
+                raise ValueError("gene tree branch not in species tree")
+            # the branch incident to the species root appears as the
+            # merged pair of root-son branches
+            if matched in root_sons and (
+                    sname[matched] == tips or sname[matched] == all_tips - tips):
+                # does this gene branch correspond to the root-spanning
+                # branch?  It does iff the OTHER root son's clade is the
+                # complement.
+                other = root_sons[1] if matched == root_sons[0] else root_sons[0]
+                if sname[other] == all_tips - sname[matched]:
+                    order.append(("rootpair", root_sons[0], root_sons[1]))
+                    continue
+            order.append(matched)
+        return order
+
+    def _init_state(self):
+        st, spec = self.st, self.spec
+        topo = st.topo
+        rng = self.rng
+        ages = np.zeros(topo.nnode)
+        # initialize ages respecting calibrations: root age from prior
+        root_cal = st.calibrations.get(st.root) or st.root_age_prior
+        if root_cal is not None:
+            k, p = root_cal
+            t1 = {"B": lambda: (p[0] + p[1]) / 2, "U": lambda: p[0] * 0.9,
+                  "L": lambda: p[0] * 1.2, "G": lambda: p[0] / p[1]}.get(
+                      k, lambda: 1.0)()
+        else:
+            t1 = 1.0
+        # assign ages proportional to node depth
+        depth = np.zeros(topo.nnode, dtype=int)
+        for n in topo.postorder:
+            kids = [c for c in topo.children[n] if c >= 0]
+            depth[n] = 1 + max(depth[c] for c in kids)
+        for n in topo.postorder:
+            ages[n] = t1 * depth[n] / depth[st.root] \
+                * (0.9 + 0.2 * rng.random())
+        ages[st.root] = t1
+        # push ages inside hard-ish calibration ranges where easy
+        for j, (k, p) in st.calibrations.items():
+            if k == "B":
+                ages[j] = 0.5 * (p[0] + p[1])
+        for n in topo.postorder:    # restore ordering
+            kids = [c for c in topo.children[n] if c >= 0]
+            mx = max(ages[c] for c in kids)
+            if ages[n] <= mx:
+                ages[n] = mx * 1.1
+        self.ages = ages
+        self.mu = np.maximum(rng.gamma(spec.rgene_gamma[0],
+                                       1 / spec.rgene_gamma[1], self.g), 1e-4)
+        self.sigma2 = np.maximum(rng.gamma(spec.sigma2_gamma[0],
+                                           1 / spec.sigma2_gamma[1], self.g),
+                                 1e-4)
+        self.rates = np.ones((topo.nnode, self.g))
+        for i in range(topo.nnode):
+            if i != st.root:
+                self.rates[i] = self.mu * np.exp(
+                    0.3 * rng.standard_normal(self.g))
+        self.kappa = np.full(self.g, 4.0)
+        self.alpha_g = np.full(self.g, max(spec.alpha, 0.2))
+
+    # -- probability pieces -------------------------------------------
+
+    def lnpT(self):
+        return ln_prior_times(self.st, self.ages)
+
+    def lnpR(self):
+        if self.spec.clock == 1:
+            return 0.0
+        return ln_prior_rates(self.st, self.rates, self.mu, self.sigma2,
+                              self.ages, self.spec.clock)
+
+    def ln_musigma_prior(self):
+        lp = ln_prior_gamma_dirichlet(self.mu, self.spec.rgene_gamma)
+        if self.spec.clock > 1:
+            lp += ln_prior_gamma_dirichlet(self.sigma2,
+                                           self.spec.sigma2_gamma)
+        return lp
+
+    def lnL_locus(self, locus_i: int) -> float:
+        st, spec = self.st, self.spec
+        b = gene_branch_lengths(
+            st, self.ages, self.mu if spec.clock == 1 else self.rates,
+            spec.clock, locus_i)
+        if spec.usedata == 0:
+            return 0.0
+        if spec.usedata == 2:
+            bl = rooted_to_unrooted_blens(st, b, self.branch_orders[locus_i])
+            return approx_lnL(self.loci[locus_i], bl)
+        return self._exact_lnL(locus_i, b)
+
+    def _exact_lnL(self, locus_i: int, b_by_node: dict) -> float:
+        """usedata=1: exact likelihood on the rooted tree."""
+        import jax.numpy as jnp
+
+        from ..core import pruning
+        from ..core.dgamma import discrete_gamma
+        from ..models import nuc
+
+        data = self.loci[locus_i]
+        st, spec = self.st, self.spec
+        topo = st.topo
+        key = ("exact", locus_i)
+        if key not in self._exact_cache:
+            import jax
+
+            tips = jnp.asarray(data.tip_partials)
+            fpatt = jnp.asarray(data.fpatt)
+            pi = jnp.asarray(nuc.model_pi(spec.model, data.base_freqs))
+            K = spec.ncatG if spec.alpha > 0 else 1
+
+            def lnl(blens_vec, kappa, alpha):
+                if K > 1:
+                    r, w = discrete_gamma(alpha, K)
+                else:
+                    r = jnp.ones((1,))
+                    w = jnp.ones((1,))
+                ts = blens_vec[:, None] * r[None, :]
+                P, pi_root = nuc.pmats_for_model(
+                    spec.model, jnp.stack([kappa]), pi, ts)
+                piC = jnp.broadcast_to(pi_root, (K, 4))
+                return pruning.lnL(P, tips, topo, piC, w, fpatt)
+
+            self._exact_cache[key] = jax.jit(lnl)
+        blv = np.zeros(topo.nnode)
+        for i, v in b_by_node.items():
+            blv[i] = v
+        return float(self._exact_cache[key](
+            jnp.asarray(blv), jnp.asarray(self.kappa[locus_i]),
+            jnp.asarray(self.alpha_g[locus_i])))
+
+    def lnL_all(self):
+        return np.array([self.lnL_locus(i) for i in range(self.g)])
+
+    # -- MCMC ----------------------------------------------------------
+
+    def run(self, progress=False):
+        st, spec = self.st, self.spec
+        topo = st.topo
+        rng = self.rng
+        g = self.g
+        n_int = self.n_int
+        clock = spec.clock
+
+        # step lengths: times, musigma2 (2g or g), rates (nbranch*g), mixing
+        n_ms = g * (2 if clock > 1 else 1)
+        nrate_steps = 1 if clock > 1 else 0
+        steps = {
+            "t": np.full(n_int, spec.finetune[0]),
+            "ms": np.full(n_ms, spec.finetune[1]),
+            "r": np.full(1, spec.finetune[2]),
+            "mix": np.array([spec.finetune[3]]),
+            "par": np.full(2 * g, spec.finetune[4]),
+        }
+        nacc = {k: np.zeros_like(v) for k, v in steps.items()}
+        ntry = {k: np.zeros_like(v) for k, v in steps.items()}
+
+        lnpT = self.lnpT()
+        lnpR = self.lnpR()
+        lnpDi = self.lnL_all()
+        samples = []
+        total = spec.burnin + spec.sampfreq * spec.nsample
+        next_adjust = spec.burnin // 4 if spec.burnin else 0
+
+        for it in range(-spec.burnin, spec.sampfreq * spec.nsample):
+            # ---- update times ----
+            for j, node in enumerate(st.internal_nodes()):
+                t = self.ages[node]
+                kids = [c for c in topo.children[node] if c >= 0]
+                tmin = max(self.ages[c] for c in kids)
+                tmax = (1e9 if node == st.root
+                        else self.ages[topo.parent[node]])
+                y = math.log(t)
+                yb = (math.log(tmin) if tmin > 0 else -99, math.log(tmax))
+                ynew = _reflect(y + steps["t"][j] * self.bactrian(),
+                                yb[0], yb[1], rng)
+                tnew = math.exp(ynew)
+                self.ages[node] = tnew
+                lnpTnew = self.lnpT()
+                lnacc = (ynew - y) + lnpTnew - lnpT
+                lnpRnew = lnpR
+                if clock == 3:
+                    lnpRnew = self.lnpR()
+                    lnacc += lnpRnew - lnpR
+                lnpDnew = self.lnL_all()
+                lnacc += float(lnpDnew.sum() - lnpDi.sum())
+                ntry["t"][j] += 1
+                if lnacc >= 0 or rng.random() < math.exp(max(lnacc, -500)):
+                    lnpT, lnpR, lnpDi = lnpTnew, lnpRnew, lnpDnew
+                    nacc["t"][j] += 1
+                else:
+                    self.ages[node] = t
+
+            # ---- update mu / sigma2 ----
+            gD_mu = spec.rgene_gamma
+            gD_s2 = spec.sigma2_gamma
+            for ip in range(2 if clock > 1 else 1):
+                para = self.mu if ip == 0 else self.sigma2
+                gD = gD_mu if ip == 0 else gD_s2
+                for l in range(g):
+                    k = ip * g + l
+                    pold = para[l]
+                    y = math.log(pold)
+                    ynew = _reflect(y + steps["ms"][k] * self.bactrian(),
+                                    -99, 99, rng)
+                    pnew = math.exp(ynew)
+                    ssum_old = para.sum()
+                    para[l] = pnew
+                    ssum_new = ssum_old + pnew - pold
+                    lnacc = ((ynew - y)
+                             + (gD[0] - gD[2] * g)
+                             * math.log(ssum_new / ssum_old)
+                             - gD[1] / g * (ssum_new - ssum_old)
+                             + (gD[2] - 1) * (ynew - y))
+                    lnpRnew = lnpR
+                    lnpDnew = lnpDi
+                    if ip == 0 and clock == 1:
+                        v = self.lnL_locus(l)
+                        lnacc += v - lnpDi[l]
+                        lnpDnew = lnpDi.copy()
+                        lnpDnew[l] = v
+                    if clock > 1:
+                        lnpRnew = self.lnpR()
+                        lnacc += lnpRnew - lnpR
+                    ntry["ms"][k] += 1
+                    if lnacc >= 0 or rng.random() < math.exp(max(lnacc, -500)):
+                        lnpR, lnpDi = lnpRnew, lnpDnew
+                        nacc["ms"][k] += 1
+                    else:
+                        para[l] = pold
+
+            # ---- update branch rates (clock 2/3) ----
+            if clock > 1:
+                for l in range(g):
+                    for node in range(topo.nnode):
+                        if node == st.root:
+                            continue
+                        rold = self.rates[node, l]
+                        y = math.log(rold)
+                        ynew = _reflect(y + steps["r"][0] * self.bactrian(),
+                                        -99, 99, rng)
+                        self.rates[node, l] = math.exp(ynew)
+                        lnpRnew = self.lnpR()
+                        v = self.lnL_locus(l)
+                        lnacc = ((ynew - y) + lnpRnew - lnpR
+                                 + v - lnpDi[l])
+                        ntry["r"][0] += 1
+                        if (lnacc >= 0
+                                or rng.random() < math.exp(max(lnacc, -500))):
+                            lnpR = lnpRnew
+                            lnpDi[l] = v
+                            nacc["r"][0] += 1
+                        else:
+                            self.rates[node, l] = rold
+
+            # ---- update substitution parameters (usedata=1) ----
+            if spec.usedata == 1:
+                for l in range(g):
+                    for ip, (para, gpr) in enumerate(
+                            [(self.kappa, spec.kappa_gamma),
+                             (self.alpha_g, spec.alpha_gamma)]):
+                        if ip == 1 and spec.alpha == 0:
+                            continue
+                        k = ip * g + l
+                        pold = para[l]
+                        y = math.log(pold)
+                        ynew = _reflect(
+                            y + steps["par"][k] * self.bactrian(),
+                            -99, 99, rng)
+                        para[l] = math.exp(ynew)
+                        v = self.lnL_locus(l)
+                        lnacc = ((ynew - y) + v - lnpDi[l]
+                                 + (gpr[0] - 1) * (ynew - y)
+                                 - gpr[1] * (para[l] - pold))
+                        ntry["par"][k] += 1
+                        if (lnacc >= 0
+                                or rng.random() < math.exp(max(lnacc, -500))):
+                            lnpDi[l] = v
+                            nacc["par"][k] += 1
+                        else:
+                            para[l] = pold
+
+            # ---- mixing ----
+            lnc = steps["mix"][0] * self.bactrian()
+            c = math.exp(lnc)
+            s = topo.ns
+            ndivide = g
+            old_ages = self.ages.copy()
+            old_mu = self.mu.copy()
+            old_rates = self.rates.copy()
+            for node in st.internal_nodes():
+                self.ages[node] *= c
+            self.mu /= c
+            gD = spec.rgene_gamma
+            summu_new = self.mu.sum()
+            summu_old = summu_new * c
+            lnacc = ((gD[0] - gD[2] * g) * math.log(summu_new / summu_old)
+                     - gD[1] / g * (summu_new - summu_old)
+                     + (gD[2] - 1) * g * (-lnc))
+            lnpRnew = lnpR
+            if clock > 1:
+                ndivide += g * (2 * s - 2)
+                self.rates[:, :] /= c
+                self.rates[st.root, :] = old_rates[st.root, :]
+                # rates at root entry unused; keep consistent
+                lnpRnew = self.lnpR()
+                lnacc += lnpRnew - lnpR
+            lnpTnew = self.lnpT()
+            lnacc += lnpTnew - lnpT + (s - 1 - ndivide) * lnc
+            ntry["mix"][0] += 1
+            if lnacc >= 0 or rng.random() < math.exp(max(lnacc, -500)):
+                lnpT, lnpR = lnpTnew, lnpRnew
+                lnpDi = self.lnL_all()
+                nacc["mix"][0] += 1
+            else:
+                self.ages = old_ages
+                self.mu = old_mu
+                self.rates = old_rates
+
+            # ---- burn-in step adaptation ----
+            if it < 0 and next_adjust and (it + spec.burnin) == next_adjust:
+                for kname in steps:
+                    pj = np.where(ntry[kname] > 0,
+                                  nacc[kname] / np.maximum(ntry[kname], 1),
+                                  0.3)
+                    st_ = steps[kname]
+                    for j in range(len(st_)):
+                        if pj[j] < 0.001:
+                            st_[j] /= 100
+                        elif pj[j] > 0.999:
+                            st_[j] = min(99.0, st_[j] * 100)
+                        else:
+                            st_[j] *= (math.tan(math.pi / 2 * pj[j])
+                                       / math.tan(math.pi / 2 * 0.3))
+                            st_[j] = min(st_[j], 99.0)
+                    nacc[kname][:] = 0
+                    ntry[kname][:] = 0
+                next_adjust += spec.burnin // 4
+
+            # ---- sample ----
+            if it >= 0 and it % spec.sampfreq == 0:
+                rec = {"lnL": float(lnpDi.sum())}
+                for j, node in enumerate(st.internal_nodes()):
+                    rec[f"t_n{node}"] = self.ages[node]
+                for l in range(g):
+                    rec[f"mu{l + 1}"] = self.mu[l]
+                if clock > 1:
+                    for l in range(g):
+                        rec[f"sigma2_{l + 1}"] = self.sigma2[l]
+                samples.append(rec)
+                if progress and len(samples) % 2000 == 0:
+                    print(f"  {len(samples)}/{spec.nsample} samples; "
+                          f"lnpT {lnpT:.2f} lnL {lnpDi.sum():.2f}")
+        self.acceptance = {k: (nacc[k] / np.maximum(ntry[k], 1))
+                           for k in steps}
+        return samples
+
+
+# ---------------------------------------------------------------------------
+# posterior summaries (reference: DescriptiveStatistics, tools.c:5779;
+# HPDinterval :5677; Eff_IntegratedCorrelationTime :5698)
+# ---------------------------------------------------------------------------
+
+
+def hpd_interval(x: np.ndarray, prob=0.95):
+    xs = np.sort(x)
+    n = len(xs)
+    k = max(1, int(math.floor(prob * n)))
+    widths = xs[k:] - xs[:n - k]
+    i = int(np.argmin(widths))
+    return float(xs[i]), float(xs[i + k])
+
+
+def ess(x: np.ndarray, maxlag=2000) -> float:
+    """Effective sample size via integrated autocorrelation time."""
+    x = np.asarray(x, float)
+    n = len(x)
+    xc = x - x.mean()
+    v = float(xc @ xc) / n
+    if v == 0:
+        return float(n)
+    rho_sum = 0.0
+    for lag in range(1, min(maxlag, n - 1)):
+        r = float(xc[:-lag] @ xc[lag:]) / ((n - lag) * v)
+        if r < 0:
+            break
+        rho_sum += r
+    tau = 1 + 2 * rho_sum
+    return n / tau
+
+
+def summarize(samples: list[dict]) -> dict:
+    keys = samples[0].keys()
+    out = {}
+    for k in keys:
+        x = np.array([s[k] for s in samples])
+        lo, hi = np.quantile(x, [0.025, 0.975])
+        h = hpd_interval(x)
+        out[k] = dict(mean=float(x.mean()), eq_lo=float(lo), eq_hi=float(hi),
+                      hpd_lo=h[0], hpd_hi=h[1], ess=ess(x))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def main(argv):
+    from ..io import ctl as ctlmod
+    path = argv[0] if argv else "mcmctree.ctl"
+    opts = ctlmod.read_ctl(path)
+    run_ctl(opts, path)
+
+
+def run_ctl(opts: dict, ctl_path: str, progress=True):
+    import re as _re
+
+    from ..io import ctl as ctlmod
+
+    g = lambda k, d=None: opts.get(k, d)
+    seqfile = ctlmod.resolve_path(ctl_path, g("seqfile"))
+    treefile = ctlmod.resolve_path(ctl_path, g("treefile"))
+    ndata = int(float(g("ndata", "1").split()[0]))
+    usedata_toks = g("usedata", "2").split()
+    usedata = int(usedata_toks[0])
+    clock = int(float(g("clock", "2")))
+    bd = [float(x) for x in _re.findall(r"[\d.]+", g("BDparas", "1 1 0.1"))]
+    mult = "multiplicative" in g("BDparas", "")
+    root_age = g("RootAge", "").strip().strip("'\"") or None
+    rg = [float(x) for x in _re.findall(r"[\d.]+", g("rgene_gamma", "2 20 1"))]
+    s2 = [float(x) for x in _re.findall(r"[\d.]+", g("sigma2_gamma", "1 10 1"))]
+    kg = [float(x) for x in _re.findall(r"[\d.]+", g("kappa_gamma", "6 2"))]
+    ag = [float(x) for x in _re.findall(r"[\d.]+", g("alpha_gamma", "1 1"))]
+    model_i = int(float(g("model", "4")))
+    spec = McmcSpec(
+        clock=clock, usedata=usedata, bds=tuple(bd[:3]),
+        multiplicative=mult, root_age=root_age,
+        rgene_gamma=tuple(rg + [1.0])[:3] if len(rg) < 3 else tuple(rg[:3]),
+        sigma2_gamma=tuple(s2 + [1.0])[:3] if len(s2) < 3 else tuple(s2[:3]),
+        kappa_gamma=tuple(kg[:2]), alpha_gamma=tuple(ag[:2]),
+        model=ctlmod.NUC_MODEL_BY_INDEX[model_i],
+        ncatG=int(float(g("ncatG", "5"))),
+        alpha=float(g("alpha", "0.5").split()[0]),
+        burnin=int(float(g("burnin", "2000"))),
+        sampfreq=int(float(g("sampfreq", "5"))),
+        nsample=int(float(g("nsample", "10000"))),
+        cleandata=bool(int(float(g("cleandata", "0")))),
+        seed=abs(int(float(g("seed", "12345")))) or 12345,
+    )
+    alns = seqio.read_alignments(seqfile, seqio.BASE_SEQ, ndata)
+    names = alns[0].names
+    trees = treeio.read_trees(treefile, names)
+    st = build_species_tree(trees[0], names, bds=spec.bds,
+                            root_age=spec.root_age,
+                            multiplicative=spec.multiplicative)
+    if usedata in (2, 3):
+        bvfile = "out.BV"
+        per_locus = generate_BV(alns, trees[0], names, model=spec.model,
+                                ncatG=spec.ncatG, alpha0=spec.alpha,
+                                fix_alpha=False, cleandata=spec.cleandata,
+                                outfile=bvfile)
+        if usedata == 3:
+            print(f"wrote {bvfile}")
+            return None
+        loci = []
+        for (data, utopo, bl, grad, H) in per_locus:
+            al = ApproxLocus(names=data.names, topo=utopo, bl=bl,
+                             gradient=grad, hessian=H,
+                             transform=spec.transform)
+            al.transform_gh()
+            loci.append(al)
+    elif usedata == 1:
+        loci = [seqio.pack(a, cleandata=spec.cleandata) for a in alns]
+    else:
+        loci = [None] * ndata
+    mc = MCMCTree(st, loci, spec)
+    samples = mc.run(progress=progress)
+    summ = summarize(samples)
+    out = g("outfile", "out.txt")
+    with open(out, "w") as f:
+        f.write("posterior summaries\n")
+        f.write(f"{'param':>12s} {'mean':>10s} {'2.5%':>10s} {'97.5%':>10s}"
+                f" {'ESS':>8s}\n")
+        for k, v in summ.items():
+            f.write(f"{k:>12s} {v['mean']:10.4f} {v['eq_lo']:10.4f} "
+                    f"{v['eq_hi']:10.4f} {v['ess']:8.1f}\n")
+    print(f"summary written to {out}")
+    return summ

@@ -135,6 +135,11 @@ def discrete_gamma(alpha: jnp.ndarray, K: int, beta: jnp.ndarray | None = None,
     F = gammainc(alpha + 1.0, cuts * beta)               # [K-1]
     Fpad = jnp.concatenate([jnp.zeros((1,), F.dtype), F, jnp.ones((1,), F.dtype)])
     r = (Fpad[1:] - Fpad[:-1]) * mean * K
+    # tiny floor: at extreme alpha the low categories underflow to exactly
+    # 0, which puts t=0 branch lengths into the P(t) kernel and breaks
+    # second-order autodiff (Hessians for in.BV) via overflowing 1/m
+    # adjoint chains; 1e-8 shifts lnL by < 1e-5 even at the alpha bound
+    r = jnp.maximum(r, 1e-8)
     return r, jnp.full((K,), 1.0 / K, alpha.dtype)
 
 

@@ -87,6 +87,30 @@ def _is_blank(line: str) -> bool:
     return not any(c.isalnum() for c in line)
 
 
+def read_alignments(path: str, seqtype: int = BASE_SEQ,
+                    ndata: int | None = None) -> list[Alignment]:
+    """Read several alignments stacked in one file (mcmctree multi-locus
+    input; reference: ReadTreeSeqs reads `ndata` successive alignments)."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    # header lines: first two tokens are ints, remaining are option letters
+    starts = []
+    for i, line in enumerate(lines):
+        toks = line.split()
+        if (len(toks) >= 2 and toks[0].isdigit() and toks[1].isdigit()
+                and all(re.fullmatch(r"[A-Za-z]+", t) for t in toks[2:])):
+            starts.append(i)
+    if not starts:
+        raise ValueError(f"no alignment headers found in {path}")
+    if ndata is not None:
+        starts = starts[:ndata]
+    out = []
+    for k, s in enumerate(starts):
+        end = starts[k + 1] if k + 1 < len(starts) else len(lines)
+        out.append(_read_phylip("\n".join(lines[s:end]), seqtype))
+    return out
+
+
 def read_alignment(path: str, seqtype: int = BASE_SEQ) -> Alignment:
     """Autodetect PAML/PHYLIP vs FASTA vs NEXUS (reference: GetSeqFileType,
     src/treesub.c:367) and parse."""
