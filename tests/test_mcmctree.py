@@ -23,7 +23,8 @@ DSB = ref_path("examples", "DatingSoftBound")
 def test_calibration_densities_normalize():
     # each density integrates to ~1 over t
     from scipy.integrate import quad
-    for kind, p, bks in [("B", [0.06, 0.08, 0.025, 0.025], [0.06, 0.08]),
+    for kind, p, bks in [("B", [0.06, 0.08, 0.025, 0.025],
+                          [0.06, 0.08, 0.0805, 0.09]),
                          ("L", [0.1, 0.1, 1.0, 0.025], [0.1]),
                          ("U", [1.0, 0.025], [1.0]),
                          ("G", [2.0, 20.0], [0.1])]:
