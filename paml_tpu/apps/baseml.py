@@ -43,6 +43,7 @@ class BasemlSpec:
     kappa: float = 5.0
     Mgene: int = 0
     Malpha: bool = False         # separate alpha per gene
+    clock: int = 0               # 0 none; 1 global; 2 local (rates by label)
     cleandata: bool = False
     use_median: bool = False     # discrete-gamma median option
     getSE: bool = False
@@ -84,6 +85,23 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     """
     branch_nodes = topo.branch_nodes()
     nb = len(branch_nodes)
+    clock = spec.clock
+    if clock >= 1:
+        # rooted tree required; parameters are root age + node proportions
+        # (reference: SetBranch, src/treesub.c:3770)
+        int_nonroot = [n for n in range(topo.ns, topo.nnode)
+                       if n != topo.root]
+        preorder = []
+        stack = [topo.root]
+        while stack:
+            n = stack.pop()
+            preorder.append(n)
+            for c in topo.children[n]:
+                if c >= topo.ns:
+                    stack.append(int(c))
+        n_time = 1 + len(int_nonroot)
+        labels = topo.labels
+        n_rate_cls = int(labels.max()) if clock == 2 else 0
     G = data.ngene if spec.Mgene != 1 else 1
     per_gene_rates = spec.Mgene >= 3 and G > 1
     per_gene_pi = spec.Mgene in (2, 4) and G > 1
@@ -108,9 +126,37 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     nnode = topo.nnode
     bn = jnp.asarray(branch_nodes)
 
+    def branch_lengths(x):
+        """tfull [nnode]: branch length above each node, and #params used."""
+        if clock == 0:
+            tfull = jnp.zeros((nnode,), x.dtype).at[bn].set(x[:nb])
+            return tfull, nb
+        ages = {topo.root: x[0]}
+        prop_idx = {n: 1 + i for i, n in enumerate(int_nonroot)}
+        for n in preorder:
+            if n == topo.root:
+                continue
+            ages[n] = ages[int(topo.parent[n])] * x[prop_idx[n]]
+        tf = [jnp.asarray(0.0, x.dtype)] * nnode
+        k = n_time
+        if clock == 2 and n_rate_cls:
+            rate_cls = jnp.concatenate([jnp.ones((1,), x.dtype),
+                                        x[k:k + n_rate_cls]])
+            k += n_rate_cls
+        for n in range(nnode):
+            if n == topo.root:
+                continue
+            a_par = ages[int(topo.parent[n])]
+            a_n = ages.get(n, jnp.asarray(0.0, x.dtype))
+            b = a_par - a_n
+            if clock == 2 and n_rate_cls:
+                b = b * rate_cls[labels[n]]
+            tf[n] = b
+        return jnp.stack(tf), k
+
     def unpack(x):
-        t = x[:nb]
-        k = nb
+        tfull, k = branch_lengths(x)
+        t = tfull[bn]
         rgene = jnp.concatenate([jnp.ones((1,), x.dtype), x[k:k + nrgene]])
         k += nrgene
         rates = x[k:k + nrate] if nrate else fixed_kappa
@@ -124,8 +170,8 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     def neg_lnl(x):
         x = x.astype(dtype)
         t, rgene, rates, alpha = unpack(x)
+        tfull, _ = branch_lengths(x)
         total = jnp.asarray(0.0, dtype)
-        tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
         for g in range(G):
             a_g = alpha[g if nalpha == G and G > 1 else 0]
             if K > 1:
@@ -143,12 +189,20 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
         return -total
 
     # initial values
-    t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
-    if not (t0 > 0).any():
-        t0 = np.full(nb, 0.1)
-    t0 = np.maximum(t0, BLEN_MIN * 2)
-    x0 = list(t0)
-    bounds = [(BLEN_MIN, BLEN_MAX)] * nb
+    if clock >= 1:
+        x0 = [0.2] + [0.6 + 0.3 * (i % 2) * 0.2
+                      for i in range(len(int_nonroot))]
+        bounds = [(1e-5, 50.0)] + [(1e-6, 1 - 1e-6)] * len(int_nonroot)
+        if clock == 2 and n_rate_cls:
+            x0 += [1.0] * n_rate_cls
+            bounds += [(1e-4, 99.0)] * n_rate_cls
+    else:
+        t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
+        if not (t0 > 0).any():
+            t0 = np.full(nb, 0.1)
+        t0 = np.maximum(t0, BLEN_MIN * 2)
+        x0 = list(t0)
+        bounds = [(BLEN_MIN, BLEN_MAX)] * nb
     x0 += [1.0] * nrgene
     bounds += [(RGENE_MIN, RGENE_MAX)] * nrgene
     r1 = {"TN93": [spec.kappa, spec.kappa]}.get(model)

@@ -145,6 +145,9 @@ def read_trees(path: str, names: list[str] | None = None) -> list[TreeNode]:
     # skips by searching for '(')
     text = re.sub(r"/\s*\*.*?\*\s*/", " ", text, flags=re.S)
     text = re.sub(r"//[^\n]*", " ", text)
+    # lone '/ ' comments (reference example files, e.g. brown.rooted.trees);
+    # a '/' inside a taxon name has no following whitespace and is kept
+    text = re.sub(r"/\s[^\n]*", " ", text)
 
     # optional header: 'ns ntree' or just 'ntree'
     ntree = None
