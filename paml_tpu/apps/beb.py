@@ -44,7 +44,7 @@ def _per_omega_loglik(data: seqio.PackedData, topo: Topology, spec,
     and the mixture Q-scale frozen at the MLE.  Returns [K, H]."""
     graph = codonmod.codon_graph(spec.icode)
     fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
-        data.tip_partials, data.fpatt, graph)
+        data.tip_partials, data.fpatt, graph, data.pos_masks)
     pi_np = codonmod.codon_pi(spec.codonf, fcodon, f3x4, f1x4, graph)
     pf3x4 = codonmod.mg_pf3x4(spec.codonf, f3x4, f1x4)
     pi = jnp.asarray(pi_np, dtype)
@@ -91,7 +91,7 @@ def neb(data: seqio.PackedData, topo: Topology, spec, res,
 
     graph = codonmod.codon_graph(spec.icode)
     fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
-        data.tip_partials, data.fpatt, graph)
+        data.tip_partials, data.fpatt, graph, data.pos_masks)
     pi_np = codonmod.codon_pi(spec.codonf, fcodon, f3x4, f1x4, graph)
     pf3x4 = codonmod.mg_pf3x4(spec.codonf, f3x4, f1x4)
     s = codonmod.mutation_part(
@@ -136,7 +136,7 @@ def beb(data: seqio.PackedData, topo: Topology, spec, res, n1d: int = 10,
     wbar = float((W * freqs[None, :]).sum(1)[0])
     graph = codonmod.codon_graph(spec.icode)
     fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
-        data.tip_partials, data.fpatt, graph)
+        data.tip_partials, data.fpatt, graph, data.pos_masks)
     pi_np = codonmod.codon_pi(spec.codonf, fcodon, f3x4, f1x4, graph)
     pf3x4 = codonmod.mg_pf3x4(spec.codonf, f3x4, f1x4)
     nb = len(topo.branch_nodes())

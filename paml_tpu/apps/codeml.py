@@ -222,7 +222,7 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
                          spec: CodemlSpec, dtype=jnp.float64):
     graph = codonmod.codon_graph(spec.icode)
     fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
-        data.tip_partials, data.fpatt, graph)
+        data.tip_partials, data.fpatt, graph, data.pos_masks)
     pi_np = codonmod.codon_pi(spec.codonf, fcodon, f3x4, f1x4, graph)
     pf3x4 = codonmod.mg_pf3x4(spec.codonf, f3x4, f1x4)
     pi = jnp.asarray(pi_np, dtype)
@@ -252,6 +252,17 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
             n_w = 0 if spec.fix_omega else 1
         else:
             n_w = B - 1 if spec.fix_omega else B
+    elif spec.model == 2:
+        # branch-site A (NS=2): p0,p1 (transformed), w0, [w2]; B (NS=3):
+        # p0,p1, w0,w1,w2
+        n_theta = (3 + (0 if spec.fix_omega else 1)) if NS == M2A else 5
+        n_w = 0
+    elif spec.model == 3:
+        # clade C (NS=2): p0,p1, w0, w2..w_{2+B-1}; D (NS=3): (ncatG-1)
+        # transformed p's, ncatG-1 shared w's, B clade w's
+        n_theta = ((3 + B) if NS == M2A
+                   else (ncatG - 1) + (ncatG - 1) + B)
+        n_w = 0
     else:
         n_theta = nssites_nparams(NS, ncatG, spec.fix_omega)
         n_w = 0
@@ -489,6 +500,19 @@ def fit_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
                 continue
             s = x0.copy()
             s[-n_theta:] = th
+            multi.append(s)
+    elif spec.NSsites == M2A and spec.model == 3:
+        # clade model C: vary w0 and the per-clade omegas
+        nb_ = len(topo.branch_nodes())
+        nth = len(x0) - nb_ - (0 if spec.fix_kappa else (5 if spec.hkyREV else 1))
+        multi = []
+        for th in ([2.0, 1.0, 0.01] + [3.0, 0.1][:nth - 3],
+                   [0.0, 0.0, 0.3] + [0.5, 1.5][:nth - 3],
+                   [1.0, -0.5, 0.05] + [1.0, 0.05][:nth - 3]):
+            if len(th) != nth:
+                continue
+            s = x0.copy()
+            s[-nth:] = th
             multi.append(s)
     elif spec.NSsites == M2A and spec.model == 2:
         # branch-site A: vary the class proportions and foreground omega

@@ -38,13 +38,16 @@ class MLPair:
 
 
 def _pair_patterns(data: seqio.PackedData, i: int, j: int):
-    """Collapse the pair's site patterns; returns (states_i, states_j,
-    counts).  Requires clean data."""
-    si = data.tip_partials[i].argmax(-1)
-    sj = data.tip_partials[j].argmax(-1)
+    """Collapse the pair's site patterns; sites where either sequence is
+    ambiguous are dropped (pairwise deletion, the reference behavior for
+    unclean data: PairwiseCodon, src/codeml.c:4372)."""
+    ok = ((data.tip_partials[i].sum(-1) == 1)
+          & (data.tip_partials[j].sum(-1) == 1))
+    si = data.tip_partials[i, ok].argmax(-1)
+    sj = data.tip_partials[j, ok].argmax(-1)
     key = si * data.nstates + sj
     uniq, inv = np.unique(key, return_inverse=True)
-    w = np.bincount(inv, weights=data.fpatt, minlength=len(uniq))
+    w = np.bincount(inv, weights=data.fpatt[ok], minlength=len(uniq))
     return (uniq // data.nstates).astype(np.int64), \
         (uniq % data.nstates).astype(np.int64), w
 
@@ -60,8 +63,10 @@ def pairwise_codon(data: seqio.PackedData, codonf: str = "F3x4",
         for j in range(i):
             # pair-specific codon frequencies (reference: PairwiseCodon
             # recomputes com.pi from the two sequences, src/codeml.c:4448)
+            pm = (data.pos_masks[[i, j]]
+                  if data.pos_masks is not None else None)
             fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
-                data.tip_partials[[i, j]], data.fpatt, graph)
+                data.tip_partials[[i, j]], data.fpatt, graph, pm)
             pi_np = codonmod.codon_pi(codonf, fcodon, f3x4, f1x4, graph)
             pf3x4 = codonmod.mg_pf3x4(codonf, f3x4, f1x4)
             pi = jnp.asarray(pi_np)

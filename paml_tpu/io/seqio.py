@@ -65,6 +65,8 @@ class PackedData:
     site_pattern: np.ndarray | None = None
     base_freqs: np.ndarray | None = None   # observed freqs over all seqs
     gene_freqs: np.ndarray | None = None   # [ngene, nstates] per-gene observed
+    # codon data: raw per-position nucleotide state sets [ns, npatt, 3, 4]
+    pos_masks: np.ndarray | None = None
     icode: int = 0
 
     def gene_slice(self, g: int) -> slice:
@@ -378,7 +380,7 @@ def encode_aa(rows: list[str]) -> np.ndarray:
     return lut[arr]
 
 
-def encode_codon(rows: list[str], icode: int = 0) -> np.ndarray:
+def encode_codon(rows: list[str], icode: int = 0, return_pos=False):
     """[ns, ls/3, nsense] bool: possible sense codons per codon site.
 
     Ambiguity semantics follow the reference (CharaMap / CodonListall):
@@ -402,6 +404,8 @@ def encode_codon(rows: list[str], icode: int = 0) -> np.ndarray:
         if bad.any():
             i, j = np.argwhere(bad)[0]
             raise ValueError(f"stop codon at seq {i + 1}, codon site {j + 1}")
+    if return_pos:
+        return m[:, :, sense], np.stack([p1, p2, p3], axis=2)
     return m[:, :, sense]
 
 
@@ -432,10 +436,11 @@ def pack(aln: Alignment, cleandata: bool = False, icode: int = 0) -> PackedData:
     """Encode + compress into site patterns (reference: PatternWeight,
     src/treesub.c:1386 and EncodeSeqs :1116)."""
     seqtype = aln.seqtype
+    pos_masks_full = None
     if seqtype == BASE_SEQ:
         masks = encode_nuc(aln.rows)
     elif seqtype == CODON_SEQ:
-        masks = encode_codon(aln.rows, icode)
+        masks, pos_masks_full = encode_codon(aln.rows, icode, return_pos=True)
     elif seqtype == AA_SEQ:
         masks = encode_aa(aln.rows)
     elif seqtype == CODON2AA_SEQ:
@@ -454,6 +459,8 @@ def pack(aln: Alignment, cleandata: bool = False, icode: int = 0) -> PackedData:
         # drop sites where any sequence is ambiguous (reference: RemoveIndel)
         keep = (masks.sum(-1) == 1).all(axis=0)
     masks = masks[:, keep]
+    if pos_masks_full is not None:
+        pos_masks_full = pos_masks_full[:, keep]
     site_gene = site_gene[keep]
     counts_in = aln.pattern_counts[keep] if aln.pattern_counts is not None else None
     nunits = int(keep.sum())
@@ -488,6 +495,9 @@ def pack(aln: Alignment, cleandata: bool = False, icode: int = 0) -> PackedData:
 
     tip = np.concatenate(tip_list, axis=1).astype(np.float64)
     fpatt = np.concatenate(fpatt_list)
+    pattern_site_all = np.concatenate(psite_list)
+    pos_masks = (pos_masks_full[:, pattern_site_all]
+                 if pos_masks_full is not None else None)
     # observed frequencies: per-species over resolved characters (weighted by
     # pattern counts), then averaged across species (reference:
     # InitializeBaseAA, src/treesub.c:1548)
@@ -511,6 +521,6 @@ def pack(aln: Alignment, cleandata: bool = False, icode: int = 0) -> PackedData:
         tip_partials=tip, fpatt=fpatt, ngene=ngene,
         posG=np.array(posG), lgene=lgene, ls=nunits,
         cleandata=cleandata or bool((masks.sum(-1) == 1).all()),
-        pattern_site=np.concatenate(psite_list),
+        pattern_site=pattern_site_all,
         site_pattern=site_pattern, base_freqs=base_freqs,
-        gene_freqs=gene_freqs, icode=icode)
+        gene_freqs=gene_freqs, pos_masks=pos_masks, icode=icode)

@@ -99,23 +99,68 @@ def codon_graph(icode: int = 0) -> CodonGraph:
 # ---------------------------------------------------------------------------
 
 def count_codon_freqs(tip_partials: np.ndarray, fpatt: np.ndarray,
-                      graph: CodonGraph):
+                      graph: CodonGraph, pos_masks: np.ndarray | None = None):
     """Pooled codon counts over all species/sites -> (fcodon [n],
-    f3x4 [3, 4], f1x4 [4]).  Ambiguous sites (non-single state sets) are
-    ignored, matching the reference's first pass."""
+    f3x4 [3, 4], f1x4 [4]).
+
+    With ambiguity characters present and `pos_masks` given ([ns, H, 3, 4]
+    raw per-position nucleotide sets), ambiguous sites are resolved by the
+    reference's 20-round iteration (InitializeCodon + AddCodonFreqSeqGene,
+    src/codeml.c:3798-3768): each ambiguous codon's count is distributed
+    over its compatible sense codons (resp. bases) in proportion to the
+    current frequency estimates."""
     resolved = tip_partials.sum(-1) == 1
     w = tip_partials * (resolved[..., None] * fpatt[None, :, None])
     fcodon = w.sum((0, 1))
-    tot = fcodon.sum()
-    fcodon = fcodon / max(tot, 1e-300)
-    f3x4 = np.zeros((3, 4))
-    for p in range(3):
-        for b in range(4):
-            f3x4[p, b] = fcodon[graph.pos_nt[:, p] == b].sum()
-    f1x4 = f3x4.mean(0)
-    f1x4 = f1x4 / f1x4.sum()
-    for p in range(3):
-        f3x4[p] /= f3x4[p].sum()
+    fcodon = fcodon / max(fcodon.sum(), 1e-300)
+
+    def marginals(fc):
+        f3 = np.zeros((3, 4))
+        for p in range(3):
+            for b in range(4):
+                f3[p, b] = fc[graph.pos_nt[:, p] == b].sum()
+        f1 = f3.mean(0)
+        return f3 / f3.sum(1, keepdims=True), f1 / f1.sum()
+
+    f3x4, f1x4 = marginals(fcodon)
+
+    has_ambig = not bool(resolved.all())
+    if has_ambig and pos_masks is not None:
+        # initial per-position counts from resolved positions of ALL sites
+        fb3 = (pos_masks * (pos_masks.sum(-1, keepdims=True) == 1)
+               * fpatt[None, :, None, None]).sum((0, 1)).astype(float)
+        fb3 = fb3 / np.maximum(fb3.sum(1, keepdims=True), 1e-300)
+        fb4 = fb3.mean(0)
+        fb4 = fb4 / fb4.sum()
+        fc0, f30, f40 = fcodon.copy(), fb3.copy(), fb4.copy()
+        flat_sets = tip_partials > 0                       # [ns, H, n]
+        for _ in range(20):
+            # codon counts: distribute over compatible sense codons
+            denom = flat_sets @ fc0                        # [ns, H]
+            denom = np.maximum(denom, 1e-300)
+            contrib = (flat_sets * fc0[None, None, :]
+                       * (fpatt[None, :] / denom)[..., None])
+            fc = contrib.sum((0, 1))
+            fc = fc / max(fc.sum(), 1e-300)
+            # per-position counts: distribute over compatible bases
+            f3 = np.zeros((3, 4))
+            f4 = np.zeros(4)
+            for p in range(3):
+                sel = pos_masks[:, :, p, :]                # [ns, H, 4]
+                d3 = np.maximum(sel @ f30[p], 1e-300)
+                f3[p] = (sel * f30[p][None, None, :]
+                         * (fpatt[None, :] / d3)[..., None]).sum((0, 1))
+                d4 = np.maximum(sel @ f40, 1e-300)
+                f4 += (sel * f40[None, None, :]
+                       * (fpatt[None, :] / d4)[..., None]).sum((0, 1))
+            f3 = f3 / np.maximum(f3.sum(1, keepdims=True), 1e-300)
+            f4 = f4 / max(f4.sum(), 1e-300)
+            d = max(np.abs(fc - fc0).max(), np.abs(f3 - f30).max(),
+                    np.abs(f4 - f40).max())
+            fc0, f30, f40 = fc, f3, f4
+            if d < 1e-8:
+                break
+        fcodon, f3x4, f1x4 = fc0, f30, f40
     return fcodon, f3x4, f1x4
 
 
