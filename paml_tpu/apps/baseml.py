@@ -44,6 +44,9 @@ class BasemlSpec:
     Mgene: int = 0
     Malpha: bool = False         # separate alpha per gene
     clock: int = 0               # 0 none; 1 global; 2 local (rates by label)
+    fix_rho: bool = True         # AdG rate autocorrelation (rho)
+    rho: float = 0.0
+    nparK: int = 0               # 1: free rates; 2: free rates + freqs
     cleandata: bool = False
     use_median: bool = False     # discrete-gamma median option
     getSE: bool = False
@@ -110,6 +113,11 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     nrgene = G - 1
     est_alpha = spec.ncatG > 1 and not spec.fix_alpha
     nalpha = (G if (est_alpha and spec.Malpha) else (1 if est_alpha else 0))
+    adg = (not spec.fix_rho) or spec.rho > 0
+    nparK = spec.nparK
+    if (adg or nparK) and G > 1:
+        raise ValueError("AdG/nparK rate models need a single gene")
+    est_rho = adg and not spec.fix_rho
 
     pi_g = [nuc.model_pi(spec.model,
                          data.gene_freqs[g] if per_gene_pi else data.base_freqs)
@@ -170,7 +178,9 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     def neg_lnl(x):
         x = x.astype(dtype)
         t, rgene, rates, alpha = unpack(x)
-        tfull, _ = branch_lengths(x)
+        tfull, k_used = branch_lengths(x)
+        if adg or nparK:
+            return _neg_lnl_ratehmm(x, tfull, rates, alpha)
         total = jnp.asarray(0.0, dtype)
         for g in range(G):
             a_g = alpha[g if nalpha == G and G > 1 else 0]
@@ -187,6 +197,38 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
             piC = jnp.broadcast_to(pi_root, (K, 4))
             total = total + pruning.lnL(P, tips_g[g], topo, piC, w, fpatt_g[g])
         return -total
+
+    def _neg_lnl_ratehmm(x, tfull, rates, alpha):
+        """AdG rate HMM over sites, or nparK free-rate mixtures
+        (reference: lfunAdG src/treesub.c:7447; nparK SetParameters)."""
+        from ..core.hmm import autod_gamma, hmm_lnL
+        from ..core.optim import simplex_decode
+        k = x.shape[0] - (1 if est_rho else 0) - (1 if est_alpha else 0) \
+            - (2 * (K - 1) if nparK == 2 else (K - 1) if nparK else 0)
+        pig = jnp.asarray(pi_g[0], dtype)
+        if nparK:
+            rfree = x[k:k + K - 1]
+            if nparK == 2:
+                w = simplex_decode(x[k + K - 1:k + 2 * (K - 1)])
+            else:
+                w = jnp.full((K,), 1.0 / K, dtype)
+            rlast = (1.0 - jnp.sum(w[:K - 1] * rfree)) / w[K - 1]
+            r = jnp.concatenate([rfree, jnp.maximum(rlast, 1e-6)[None]])
+            M = None
+        else:
+            a_g = alpha[0]
+            rho_v = x[-1] if est_rho else jnp.asarray(spec.rho, dtype)
+            r, w, M = autod_gamma(a_g, rho_v, K)
+        ts = tfull[:, None] * r[None, :]
+        P, pi_root = nuc.pmats_for_model(model, rates, pig, ts, step)
+        piC = jnp.broadcast_to(pi_root, (K, 4))
+        lnf = pruning.class_site_lnf(P, tips_g[0], topo, piC)   # [K, H]
+        if nparK:
+            lnf_c = lnf + jnp.log(w)[:, None]
+            site_ln = jax.scipy.special.logsumexp(lnf_c, axis=0)
+            return -jnp.sum(fpatt_g[0] * site_ln)
+        lnf_sites = lnf[:, jnp.asarray(data.site_pattern)]      # [K, L]
+        return -hmm_lnL(lnf_sites, M, w)
 
     # initial values
     if clock >= 1:
@@ -217,6 +259,15 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     bounds += [(RATE_MIN, RATE_MAX)] * nrate
     x0 += [spec.alpha if spec.alpha > 0 else 0.5] * nalpha
     bounds += [(ALPHA_MIN, ALPHA_MAX)] * nalpha
+    if nparK:
+        x0 += list(np.linspace(0.3, 1.5, K - 1))
+        bounds += [(RATE_MIN, RATE_MAX)] * (K - 1)
+        if nparK == 2:
+            x0 += [0.0] * (K - 1)
+            bounds += [(-19.0, 9.0)] * (K - 1)
+    if est_rho:
+        x0.append(spec.rho if spec.rho > 0 else 0.3)
+        bounds.append((-0.2, 0.99))
     return neg_lnl, unpack, np.array(x0), bounds
 
 
@@ -233,7 +284,19 @@ def fit(seqfile: str, treefile: str, spec: BasemlSpec | None = None,
 def fit_packed(data: seqio.PackedData, topo: Topology,
                spec: BasemlSpec, dtype=jnp.float64) -> BasemlResult:
     neg_lnl, unpack, x0, bounds = make_objective(data, topo, spec, dtype)
-    res = maximize(neg_lnl, x0, bounds)
+    multi = None
+    if spec.nparK:
+        # free-rate mixtures are multimodal in the rate ordering
+        K = spec.ncatG
+        multi = []
+        for rr in (np.linspace(0.05, 0.8, K - 1),
+                   np.linspace(0.8, 3.0, K - 1),
+                   np.full(K - 1, 1.0)):
+            s = x0.copy()
+            off = len(x0) - (K - 1) * (2 if spec.nparK == 2 else 1)
+            s[off:off + K - 1] = rr
+            multi.append(s)
+    res = maximize(neg_lnl, x0, bounds, multi_start=multi)
     t, rgene, rates, alpha = unpack(jnp.asarray(res.x))
     branch_nodes = topo.branch_nodes()
     ses = None
