@@ -47,6 +47,7 @@ class BasemlSpec:
     fix_rho: bool = True         # AdG rate autocorrelation (rho)
     rho: float = 0.0
     nparK: int = 0               # 1: free rates; 2: free rates + freqs
+    continuous_gamma: bool = False   # basemlg: continuous-gamma rates
     cleandata: bool = False
     use_median: bool = False     # discrete-gamma median option
     getSE: bool = False
@@ -111,7 +112,8 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     nr1 = _n_rate_params(spec)
     nrate = nr1 * (G if per_gene_rates else 1)
     nrgene = G - 1
-    est_alpha = spec.ncatG > 1 and not spec.fix_alpha
+    est_alpha = ((spec.ncatG > 1) or spec.continuous_gamma) \
+        and not spec.fix_alpha
     nalpha = (G if (est_alpha and spec.Malpha) else (1 if est_alpha else 0))
     adg = (not spec.fix_rho) or spec.rho > 0
     nparK = spec.nparK
@@ -128,6 +130,19 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
                for g in range(G)]
     fixed_kappa = jnp.asarray(np.atleast_1d(spec.kappa).astype(np.float64), dtype)
     step = spec.step_matrix
+    if spec.continuous_gamma:
+        # composite Gauss-Legendre on the gamma-CDF transform: 9 panels
+        # with denser coverage of the heavy right tail reproduces the
+        # reference basemlg's analytic integration to ~1e-6 lnL
+        _bks = [0, .1, .3, .6, .85, .96, .995, .9995, 1 - 2e-5, 1]
+        _un, _wn = np.polynomial.legendre.leggauss(16)
+        _us, _ws = [], []
+        for _a, _b in zip(_bks[:-1], _bks[1:]):
+            _us.append((_un + 1) / 2 * (_b - _a) + _a)
+            _ws.append(_wn / 2 * (_b - _a))
+        cg_u = jnp.asarray(np.clip(np.concatenate(_us), 1e-12, 1 - 1e-12),
+                           dtype)
+        cg_w = jnp.asarray(np.concatenate(_ws), dtype)
     model = spec.model
     K = spec.ncatG
     use_median = spec.use_median
@@ -184,7 +199,11 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
         total = jnp.asarray(0.0, dtype)
         for g in range(G):
             a_g = alpha[g if nalpha == G and G > 1 else 0]
-            if K > 1:
+            if spec.continuous_gamma:
+                from ..core.dgamma import gammaincinv
+                r = gammaincinv(a_g, cg_u) / a_g
+                w = cg_w
+            elif K > 1:
                 r, w = discrete_gamma(a_g, K, use_median=use_median)
             else:
                 r = jnp.ones((1,), dtype)
@@ -194,7 +213,7 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
             pig = jnp.asarray(pi_g[g], dtype)
             ts = tfull[:, None] * (r[None, :] * rgene[g])
             P, pi_root = nuc.pmats_for_model(model, rates_g, pig, ts, step)
-            piC = jnp.broadcast_to(pi_root, (K, 4))
+            piC = jnp.broadcast_to(pi_root, (r.shape[0], 4))
             total = total + pruning.lnL(P, tips_g[g], topo, piC, w, fpatt_g[g])
         return -total
 
@@ -304,11 +323,13 @@ def fit_packed(data: seqio.PackedData, topo: Topology,
         H = jax.hessian(neg_lnl)(jnp.asarray(res.x))
         cov = np.linalg.inv(np.asarray(H))
         ses = np.sqrt(np.maximum(np.diag(cov), 0.0))
-    est_alpha = spec.ncatG > 1 and not spec.fix_alpha
+    est_alpha = ((spec.ncatG > 1) or spec.continuous_gamma) \
+        and not spec.fix_alpha
     return BasemlResult(
         lnL=res.lnL, blens=np.asarray(t), branch_nodes=branch_nodes,
         rate_params=np.asarray(rates), rgene=np.asarray(rgene),
-        alpha=np.asarray(alpha) if spec.ncatG > 1 else None,
+        alpha=(np.asarray(alpha)
+               if (spec.ncatG > 1 or spec.continuous_gamma) else None),
         pi=nuc.model_pi(spec.model, data.base_freqs),
         np=len(res.x), topo=topo, SEs=ses, fit=res, x=np.asarray(res.x))
 
