@@ -6,6 +6,10 @@ Usage:
   python -m paml_tpu yn00    [yn00.ctl]
   python -m paml_tpu chi2    [df stat]        # LRT p-values (reference chi2)
   python -m paml_tpu evolver <mode> <datfile> # simulation
+  python -m paml_tpu mcmctree [ctl | --combine out in1 in2 ...]
+  python -m paml_tpu ds      <samplefile>     # descriptive statistics
+  python -m paml_tpu bfdriver <ctl> [nbeta]   # marginal-likelihood driver
+  python -m paml_tpu multiruns <out> <rst1 files...>
 
 Mirrors the reference programs' invocation (e.g. `codeml codeml.ctl`);
 default ctl names match the reference (codeml.ctl, baseml.ctl, yn00.ctl).
@@ -207,6 +211,24 @@ def main(argv: list[str] | None = None) -> None:
     elif prog == "mcmctree":
         from .apps.mcmctree import main as mcmctree_main
         mcmctree_main(rest)
+    elif prog == "ds":
+        from .apps.mcmcutils import describe_file
+        stats = describe_file(rest[0])
+        print(f"{'param':>12s} {'mean':>10s} {'sd':>10s} {'median':>10s} "
+              f"{'2.5%':>10s} {'97.5%':>10s} {'ESS':>8s}")
+        for k, v in stats.items():
+            print(f"{k:>12s} {v['mean']:10.4f} {v['sd']:10.4f} "
+                  f"{v['median']:10.4f} {v['eq_lo']:10.4f} "
+                  f"{v['eq_hi']:10.4f} {v['ess']:8.1f}")
+    elif prog == "bfdriver":
+        from .apps.mcmcutils import bfdriver
+        nb = int(rest[1]) if len(rest) > 1 else 8
+        betas, ws = bfdriver(rest[0], nbeta=nb)
+        print(f"wrote {nb} per-beta configs under bf/ + runbf.sh")
+    elif prog == "multiruns":
+        from .apps.mcmcutils import multiruns
+        n = multiruns(rest[1:], rest[0])
+        print(f"merged {len(rest) - 1} runs, {n} datasets -> {rest[0]}")
     else:
         print(f"unknown program {prog!r}\n{__doc__}")
         sys.exit(2)

@@ -1002,6 +1002,12 @@ def summarize(samples: list[dict]) -> dict:
 
 def main(argv):
     from ..io import ctl as ctlmod
+    if argv and argv[0] == "--combine":
+        from .mcmcutils import combine_mcmc
+        out = argv[1]
+        n = combine_mcmc(argv[2:], out)
+        print(f"combined {len(argv) - 2} chains, {n} samples -> {out}")
+        return
     path = argv[0] if argv else "mcmctree.ctl"
     opts = ctlmod.read_ctl(path)
     run_ctl(opts, path)
@@ -1069,7 +1075,18 @@ def run_ctl(opts: dict, ctl_path: str, progress=True):
     else:
         loci = [None] * ndata
     mc = MCMCTree(st, loci, spec)
+    ckpt = g("checkpoint", "").split()
+    if len(ckpt) >= 1 and ckpt[0] == "2":
+        from .mcmcutils import load_state
+        load_state(mc, ckpt[2] if len(ckpt) > 2 else "mcmctree.ckpt")
+        print("resumed from checkpoint")
     samples = mc.run(progress=progress)
+    if len(ckpt) >= 1 and ckpt[0] == "1":
+        from .mcmcutils import save_state
+        save_state(mc, ckpt[2] if len(ckpt) > 2 else "mcmctree.ckpt",
+                   it=len(samples))
+    from .mcmcutils import write_mcmc_txt
+    write_mcmc_txt(samples, g("mcmcfile", "mcmc.txt"))
     summ = summarize(samples)
     out = g("outfile", "out.txt")
     with open(out, "w") as f:
