@@ -48,6 +48,7 @@ class BasemlSpec:
     rho: float = 0.0
     nparK: int = 0               # 1: free rates; 2: free rates + freqs
     continuous_gamma: bool = False   # basemlg: continuous-gamma rates
+    nhomo: int = 0               # 1: est pi; 2: branch kappas; 3/4/5: branch pis
     cleandata: bool = False
     use_median: bool = False     # discrete-gamma median option
     getSE: bool = False
@@ -78,6 +79,136 @@ def _n_rate_params(spec: BasemlSpec) -> int:
     if spec.fix_kappa and spec.model in ("K80", "F84", "HKY85", "T92", "TN93"):
         n = 0
     return n
+
+
+def make_nhomo_objective(data: seqio.PackedData, topo: Topology,
+                         spec: BasemlSpec, dtype=jnp.float64):
+    """Nonhomogeneous models (reference: nhomo options, src/baseml.c:1201):
+    nhomo=1 one estimated pi; 2: per-branch kappas; 3 (N1): per-tip pis +
+    one internal + root; 4 (N2): per-node pis; 5: label-defined pi sets.
+    Each branch's Q uses the pi set of its child node, normalized to mean
+    rate 1; the root set gives the root distribution, making the process
+    nonstationary; the likelihood runs on the tree as given."""
+    from ..core.optim import simplex_decode
+    branch_nodes = topo.branch_nodes()
+    nb = len(branch_nodes)
+    bn = jnp.asarray(branch_nodes)
+    nnode = topo.nnode
+    model = spec.model
+    nh = spec.nhomo
+    nr1 = nuc.N_RATE_PARAMS[model] if not spec.fix_kappa else (
+        nuc.N_RATE_PARAMS[model] if model in ("TN93", "REV") else 0)
+    tips = jnp.asarray(data.tip_partials, dtype)
+    fpatt = jnp.asarray(data.fpatt, dtype)
+
+    # pi-set assignment per node (the set index used by the branch above
+    # the node; root's set is the root distribution)
+    if nh == 1:
+        pi_set = np.zeros(nnode, dtype=np.int64)
+        n_pi = 1
+        root_set = 0
+    elif nh == 2:
+        pi_set = np.zeros(nnode, dtype=np.int64)
+        n_pi = 0
+        root_set = 0
+    elif nh == 4:
+        pi_set = np.arange(nnode, dtype=np.int64)
+        n_pi = nnode
+        root_set = int(topo.root)
+    elif nh == 3:
+        pi_set = np.full(nnode, topo.ns, dtype=np.int64)
+        pi_set[:topo.ns] = np.arange(topo.ns)
+        root_set = topo.ns + 1
+        pi_set[topo.root] = root_set
+        n_pi = topo.ns + 2
+    elif nh == 5:
+        labels = topo.labels.astype(np.int64)
+        nonroot = [n for n in range(nnode) if n != topo.root]
+        nbtype = int(labels[nonroot].max()) + 1
+        pi_set = labels.copy()
+        root_lab = int(labels[topo.root])
+        if root_lab == nbtype:         # root declared as an extra set
+            root_set = nbtype
+            n_pi = nbtype + 1
+        elif 0 <= root_lab < nbtype:   # root shares a branch set
+            root_set = root_lab
+            n_pi = nbtype
+        else:
+            root_set = nbtype
+            n_pi = nbtype + 1
+        pi_set[topo.root] = root_set
+    else:
+        raise ValueError(f"nhomo {nh}")
+    # per-branch rate sets: nhomo 2 -> per-branch kappa; nhomo>=3 with
+    # fix_kappa=0 -> per-branch rates; else shared
+    fixk = int(spec.fix_kappa)
+    if nh == 2:
+        n_rate_sets = nb
+        nr1 = 1
+    elif nh >= 3 and fixk == 0:
+        n_rate_sets = nb
+    elif nh >= 3 and fixk == 2:
+        n_rate_sets = int(topo.labels[[n for n in range(nnode)
+                                       if n != topo.root]].max()) + 1
+    else:
+        n_rate_sets = 1
+    nrate = nr1 * n_rate_sets
+    rate_set = np.zeros(nnode, dtype=np.int64)
+    if n_rate_sets == nb:
+        rate_set[branch_nodes] = np.arange(nb)
+    elif n_rate_sets > 1:
+        rate_set = np.clip(topo.labels.astype(np.int64), 0,
+                           n_rate_sets - 1)
+    pi_set_j = jnp.asarray(pi_set)
+    obs = np.asarray(data.base_freqs)
+
+    def unpack(x):
+        t = x[:nb]
+        rates = x[nb:nb + nrate].reshape(n_rate_sets, nr1) if nrate else             jnp.full((1, max(nr1, 1)), spec.kappa, dtype)
+        k = nb + nrate
+        if n_pi:
+            pix = x[k:k + 3 * n_pi].reshape(n_pi, 3)
+            pis = jax.vmap(simplex_decode)(pix)            # [n_pi, 4]
+        else:
+            pis = jnp.asarray(obs, dtype)[None, :]
+        return t, rates, pis
+
+    def neg_lnl(x):
+        x = x.astype(dtype)
+        t, rates, pis = unpack(x)
+        tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
+
+        def branch_P(node):
+            pi_b = pis[pi_set[node] if n_pi else 0]
+            r_b = rates[rate_set[node] if rate_set is not None else 0]
+            if model in nuc.TN93_FAMILY:
+                from ..core.pmat import pmat_tn93, tn93_alphas
+                a1, a2, b = tn93_alphas(model, pi_b,
+                                        r_b if nr1 else [spec.kappa])
+                return pmat_tn93(pi_b, a1, a2, b, tfull[node][None])[0]
+            Q = nuc.build_rev_Q(r_b, pi_b)
+            from ..core.pmat import pmat_rev
+            return pmat_rev(Q, pi_b, tfull[node][None])[0]
+
+        P = jnp.stack([branch_P(n) for n in range(nnode)])  # [nnode, 4, 4]
+        pi_root = pis[root_set] if n_pi else jnp.asarray(obs, dtype)
+        piC = pi_root[None, :]
+        return -pruning.lnL(P[:, None], tips, topo, piC,
+                            jnp.ones((1,), dtype), fpatt)
+
+    t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
+    if not (t0 > 0).any():
+        t0 = np.full(nb, 0.1)
+    x0 = list(np.maximum(t0, BLEN_MIN * 2))
+    bounds = [(BLEN_MIN, BLEN_MAX)] * nb
+    r1 = ([spec.kappa] + [1.0] * (nr1 - 1)) if nr1 else []
+    x0 += r1 * n_rate_sets
+    bounds += [(RATE_MIN, RATE_MAX)] * nrate
+    if n_pi:
+        enc = np.log(np.maximum(obs[:3], 1e-8) / max(obs[3], 1e-8))
+        x0 += list(enc) * n_pi
+        bounds += [(-19.0, 9.0)] * (3 * n_pi)
+    return neg_lnl, unpack, np.array(x0), bounds
 
 
 def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
@@ -302,6 +433,8 @@ def fit(seqfile: str, treefile: str, spec: BasemlSpec | None = None,
 
 def fit_packed(data: seqio.PackedData, topo: Topology,
                spec: BasemlSpec, dtype=jnp.float64) -> BasemlResult:
+    if spec.nhomo:
+        return _fit_nhomo(data, topo, spec, dtype)
     neg_lnl, unpack, x0, bounds = make_objective(data, topo, spec, dtype)
     multi = None
     if spec.nparK:
@@ -351,3 +484,15 @@ def fit_separate(seqfile: str, treefile: str, spec: BasemlSpec,
         results.append(fit_packed(
             data, topo, dataclasses.replace(spec, Mgene=0), dtype=dtype))
     return results
+
+
+def _fit_nhomo(data, topo, spec, dtype=jnp.float64):
+    neg_lnl, unpack, x0, bounds = make_nhomo_objective(data, topo, spec,
+                                                       dtype)
+    res = maximize(neg_lnl, x0, bounds)
+    t, rates, pis = unpack(jnp.asarray(res.x))
+    return BasemlResult(
+        lnL=res.lnL, blens=np.asarray(t),
+        branch_nodes=topo.branch_nodes(), rate_params=np.asarray(rates),
+        rgene=np.ones(1), alpha=None, pi=np.asarray(pis), np=len(res.x),
+        topo=topo, SEs=None, fit=res, x=np.asarray(res.x))
