@@ -7,6 +7,7 @@ Usage:
   python -m paml_tpu chi2    [df stat]        # LRT p-values (reference chi2)
   python -m paml_tpu evolver <mode> <datfile> # simulation
   python -m paml_tpu mcmctree [ctl | --combine out in1 in2 ...]
+  python -m paml_tpu infinitesites [mcmctree.ctl]  # infinite-sites dating
   python -m paml_tpu ds      <samplefile>     # descriptive statistics
   python -m paml_tpu bfdriver <ctl> [nbeta]   # marginal-likelihood driver
   python -m paml_tpu multiruns <out> <rst1 files...>
@@ -211,6 +212,27 @@ def main(argv: list[str] | None = None) -> None:
     elif prog == "mcmctree":
         from .apps.mcmctree import main as mcmctree_main
         mcmctree_main(rest)
+    elif prog == "infinitesites":
+        from .apps.infinitesites import run_ctl as is_run
+        from .io.ctl import read_ctl
+        ctl = rest[0] if rest else "mcmctree.ctl"
+        out = is_run(read_ctl(ctl), ctl, progress=True)
+        if isinstance(out, dict):            # clock 1
+            lo, hi = out["t0_CI"]
+            print(f"\nPosterior root age t0: mean {out['t0_mean']:.6f} "
+                  f"95% CI ({lo:.6f}, {hi:.6f})")
+            for lab in ("mean", "low", "high"):
+                ages = out["times"][lab]
+                print(f"{lab:>5s} times: "
+                      + " ".join(f"{a:.6f}" for a in ages))
+        else:                                # clock 2/3 sample list
+            from .apps.mcmctree import summarize
+            summ = summarize(out)
+            print(f"{'param':>12s} {'mean':>10s} {'2.5%':>10s} "
+                  f"{'97.5%':>10s}")
+            for k, v in summ.items():
+                print(f"{k:>12s} {v['mean']:10.5f} {v['eq_lo']:10.5f} "
+                      f"{v['eq_hi']:10.5f}")
     elif prog == "ds":
         from .apps.mcmcutils import describe_file
         stats = describe_file(rest[0])
