@@ -16,6 +16,7 @@ parameters, mixing), and burn-in step-length adaptation to Pjump 0.3
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -139,6 +140,8 @@ class SpeciesTree:
     root_age_prior: tuple | None       # (kind, params) used when root has none
     bds: tuple = (1.0, 1.0, 0.1)       # lambda, mu, rho
     multiplicative: bool = False       # BDS_flag: kernel on all nodes
+    psi: float = 0.0                   # BDS fossil-sampling rate (TipDate)
+    tip_ages: np.ndarray | None = None  # [ns] nonzero => TipDate model
 
     @property
     def ns(self):
@@ -171,8 +174,106 @@ def build_species_tree(tree: treeio.TreeNode, names, bds=(1, 1, 0.1),
                        multiplicative=multiplicative)
 
 
+def parse_tip_dates(names: list[str], timeunit: float | None = None):
+    """Sampling dates from the last numeric field of each sequence name
+    (reference: GetTipDate, treesub.c:3552).  Supports plain numbers
+    (e.g. 'P03h1995' -> 1995) and yyyy-mm-dd (converted to day numbers).
+    Returns (tip_ages, timeunit, youngest): age = (youngest-date)/timeunit,
+    so the most recent tip is age 0."""
+    import re
+
+    dates = []
+    ymd = False
+    for name in names:
+        m = re.search(r"([0-9][0-9.\-]*)$", name)
+        if not m:
+            dates.append(None)
+            continue
+        tok = m.group(1)
+        if "-" in tok.strip("-"):
+            import datetime
+            parts = [int(x) for x in tok.split("-") if x]
+            y, mo, d = (parts + [1, 15])[:3]
+            epoch = datetime.date(1970, 1, 1)
+            dates.append((datetime.date(y, max(mo, 1), max(d, 1))
+                          - epoch).days * 1.0)
+            ymd = True
+        else:
+            dates.append(float(tok.rstrip(".-")))
+    if any(d is None for d in dates):
+        raise ValueError("TipDate model requires a sampling date in every "
+                         "sequence name")
+    arr = np.array(dates)
+    young, old = arr.max(), arr.min()
+    if young - old < 1e-100:
+        raise ValueError("TipDate: all sequences have the same age")
+    if timeunit is None or timeunit <= 0:
+        timeunit = (young - old) * 2.5
+    ages = (young - arr) / timeunit
+    ages[ages < 1e-100] = 0.0
+    return ages, timeunit, float(young)
+
+
+def _ln_prior_times_tipdate(st: SpeciesTree, ages: np.ndarray) -> float:
+    """Stadler & Yang (2013) Approach 1 birth-death-serial-sampling prior
+    on node ages, used for TipDate data (reference:
+    lnpriorTimesBDS_Approach1, mcmctree.c:2468)."""
+    topo = st.topo
+    root = st.root
+    lam, mu, rho = st.bds
+    psi = st.psi
+    t1 = ages[root]
+    lnp = 0.0
+    if lam <= 0 or mu < 0 or (rho <= 0 and psi <= 0):
+        raise ValueError("B-D-S parameters: lambda > 0, mu >= 0, and "
+                         "rho > 0 or psi > 0")
+    internal = [j for j in st.internal_nodes() if j != root]
+    if psi == 0 and abs(lam - mu) < 1e-20:
+        c1 = 1 / t1 + rho * lam
+        for j in internal:
+            c2 = 1 + rho * lam * ages[j]
+            lnp += math.log(c1 / (c2 * c2))
+    elif psi == 0:
+        a = lam - rho * lam - mu
+        e = math.exp((mu - lam) * t1)
+        c1 = (rho * lam + a * e) / (1 - e)
+        for j in internal:
+            e = math.exp((mu - lam) * ages[j])
+            c2 = (lam - mu) / (rho * lam + a * e)
+            c2 *= c2 * e * c1
+            lnp += math.log(c2)
+    else:
+        c1 = math.sqrt((lam - mu - psi) ** 2 + 4 * lam * psi)
+        c2 = -(lam - mu - 2 * lam * rho - psi) / c1
+        gt1 = 1 / (math.exp(-c1 * t1) * (1 - c2) + (1 + c2))
+        for j in internal:
+            # z*: the older of the two tips bracketing node j in the
+            # ladderized ordering (reference's sons[0]/sons[1] descents)
+            k = topo.children[j][0]
+            while k >= topo.ns:
+                k = topo.children[k][1]
+            z0 = ages[k]
+            k = topo.children[j][1]
+            while k >= topo.ns:
+                k = topo.children[k][0]
+            zstar = max(z0, ages[k])
+            gz = 1 / (math.exp(-c1 * zstar) * (1 - c2) + (1 + c2))
+            t = ages[j]
+            gt = math.exp(-c1 * t) * (1 - c2) + (1 + c2)
+            lnp += -c1 * t + math.log(c1 * (1 - c2)
+                                      / (gt * gt * (gt1 - gz)))
+    cal = st.calibrations.get(root) or st.root_age_prior
+    if cal is None:
+        raise ValueError("TipDate model requires bounds on the root age")
+    lnp += _ln_calibration_density(t1, cal[0], cal[1])
+    return lnp
+
+
 def ln_prior_times(st: SpeciesTree, ages: np.ndarray) -> float:
-    """Reference lnpriorTimes = lnptC + lnptNCgiventC (mcmctree.c:3255)."""
+    """Reference lnpriorTimes = lnptC + lnptNCgiventC (mcmctree.c:3255);
+    TipDate data use the BDS Approach-1 density instead."""
+    if st.tip_ages is not None and st.tip_ages.max() > 0:
+        return _ln_prior_times_tipdate(st, ages)
     topo = st.topo
     root = st.root
     t1 = ages[root]
@@ -409,6 +510,95 @@ def rooted_to_unrooted_blens(st: SpeciesTree, b_by_node: dict,
     return out
 
 
+def read_BV(path: str, ngene: int, transform: str = "arcsin",
+            ncode: int = 4) -> list[ApproxLocus]:
+    """Read a reference-format in.BV: per locus, ns, the unrooted gene tree
+    with branch lengths, the nb=2ns-3 branch-length MLEs, the gradient,
+    'Hessian', and the nb x nb matrix (reference: ReadBlengthGH,
+    mcmctree.c:1266).  Vectors in the file are in the reference's ibranch
+    order — the textual (preorder) appearance order of non-root nodes in
+    the Newick string (treesub.c:3111-3159) — and are permuted here to our
+    Topology.branch_nodes() order."""
+    text = open(path).read()
+    pos = 0
+    loci = []
+    for _ in range(ngene):
+        m = re.search(r"\s*(\d+)\s", text[pos:])
+        ns = int(m.group(1))
+        pos += m.end()
+        end = text.index(";", pos)
+        tree_str = text[pos:end + 1]
+        pos = end + 1
+        node = treeio.parse_newick(tree_str.strip())
+        names = [n.name for n in node.walk_pre() if not n.children]
+        topo = from_treenode(node, names)
+        if ns != topo.ns:
+            raise ValueError(f"in.BV: ns {topo.ns} != {ns}")
+        nb = 2 * ns - 3
+        toks = text[pos:].split()
+        need = 2 * nb + 1 + nb * nb
+        vals = toks[:need]
+        if vals[2 * nb].lower().find("hessian") < 0:
+            raise ValueError("in.BV: expected 'Hessian' header")
+        bl_ref = np.array([float(v) for v in vals[:nb]])
+        grad_ref = np.array([float(v) for v in vals[nb:2 * nb]])
+        H_ref = np.array([float(v) for v in vals[2 * nb + 1:need]]
+                         ).reshape(nb, nb)
+        # advance pos past the consumed tokens
+        consumed = 0
+        count = 0
+        for mt in re.finditer(r"\S+", text[pos:]):
+            count += 1
+            if count == need:
+                consumed = mt.end()
+                break
+        pos += consumed
+        # ibranch order = preorder appearance of non-root nodes
+        order = []
+        def _pre(n):
+            if n.index != topo.root:
+                order.append(n.index)
+            for c in n.children:
+                _pre(c)
+        # re-derive each parsed node's topology index by matching tip sets
+        _assign_indices(node, topo)
+        _pre(node)
+        if len(order) != nb:
+            raise ValueError("in.BV: branch count mismatch")
+        branch_nodes = topo.branch_nodes().tolist()
+        perm = np.array([order.index(n) for n in branch_nodes])
+        # consistency check: the MLE vector equals the tree's own lengths
+        tree_bl = np.array([topo.blen0[n] for n in branch_nodes])
+        if not np.allclose(bl_ref[perm], tree_bl, atol=5e-5):
+            raise ValueError("in.BV: branch-length vector does not match "
+                             "the gene tree")
+        al = ApproxLocus(names=names, topo=topo, bl=bl_ref[perm],
+                         gradient=grad_ref[perm],
+                         hessian=H_ref[np.ix_(perm, perm)],
+                         transform=transform, ncode=ncode)
+        al.transform_gh()
+        loci.append(al)
+    return loci
+
+
+def _assign_indices(root_node, topo: Topology) -> None:
+    """Set .index on each TreeNode to its Topology node id (tips by name;
+    internals by tip-set identity)."""
+    name_to_tip = {n: i for i, n in enumerate(topo.node_names[:topo.ns])}
+    desc = topo.tip_descendants()
+    clade_to_node = {frozenset(desc[j]): j for j in range(topo.nnode)}
+
+    def walk(n) -> frozenset:
+        if not n.children:
+            s = frozenset([name_to_tip[n.name]])
+        else:
+            s = frozenset().union(*(walk(c) for c in n.children))
+        n.index = clade_to_node[s]
+        return s
+
+    walk(root_node)
+
+
 # ---------------------------------------------------------------------------
 # in.BV generation (usedata=3) — autodiff gradients & Hessians
 # ---------------------------------------------------------------------------
@@ -612,6 +802,8 @@ class MCMCTree:
         topo = st.topo
         rng = self.rng
         ages = np.zeros(topo.nnode)
+        if st.tip_ages is not None:
+            ages[:topo.ns] = st.tip_ages
         # initialize ages respecting calibrations: root age from prior
         root_cal = st.calibrations.get(st.root) or st.root_age_prior
         if root_cal is not None:
@@ -878,33 +1070,93 @@ class MCMCTree:
             lnc = steps["mix"][0] * self.bactrian()
             c = math.exp(lnc)
             s = topo.ns
-            ndivide = g
+            tipdate = (st.tip_ages is not None and st.tip_ages.max() > 0)
             old_ages = self.ages.copy()
             old_mu = self.mu.copy()
             old_rates = self.rates.copy()
-            for node in st.internal_nodes():
-                self.ages[node] *= c
-            self.mu /= c
             gD = spec.rgene_gamma
-            summu_new = self.mu.sum()
-            summu_old = summu_new * c
-            lnacc = ((gD[0] - gD[2] * g) * math.log(summu_new / summu_old)
-                     - gD[1] / g * (summu_new - summu_old)
-                     + (gD[2] - 1) * g * (-lnc))
-            lnpRnew = lnpR
-            if clock > 1:
-                ndivide += g * (2 * s - 2)
-                self.rates[:, :] /= c
-                self.rates[st.root, :] = old_rates[st.root, :]
-                # rates at root entry unused; keep consistent
-                lnpRnew = self.lnpR()
-                lnacc += lnpRnew - lnpR
-            lnpTnew = self.lnpT()
-            lnacc += lnpTnew - lnpT + (s - 1 - ndivide) * lnc
+            if tipdate:
+                # mixingTipDate (mcmctree.c:3997): scale each interior age
+                # away from the oldest tip beneath it, preserving the
+                # relative positions x_j within each father interval
+                changemu = clock == 1
+                ndivide = g if changemu else 0
+                minages = np.zeros(topo.nnode)
+                for j in range(s):
+                    tz = self.ages[j]
+                    k = topo.parent[j]
+                    while k != -1 and tz > minages[k]:
+                        minages[k] = tz
+                        k = topo.parent[k]
+                xprop = {}
+                for node in st.internal_nodes():
+                    if node == st.root:
+                        continue
+                    dad = topo.parent[node]
+                    xprop[node] = ((self.ages[node] - minages[node])
+                                   / (self.ages[dad] - minages[node]))
+                lnacc = lnc
+                self.ages[st.root] = (minages[st.root]
+                                      + (self.ages[st.root]
+                                         - minages[st.root]) * c)
+                order = [st.root]
+                for n in order:
+                    order.extend(cc for cc in topo.children[n]
+                                 if cc >= s)
+                for node in order[1:]:
+                    dad = topo.parent[node]
+                    told = self.ages[node]
+                    self.ages[node] = (minages[node] + xprop[node]
+                                       * (self.ages[dad] - minages[node]))
+                    lnacc += math.log((self.ages[node] - minages[node])
+                                      / (told - minages[node]))
+                if changemu:
+                    self.mu /= c
+                    summu_new = self.mu.sum()
+                    summu_old = summu_new * c
+                    lnacc += ((gD[0] - gD[2] * g)
+                              * math.log(summu_new / summu_old)
+                              - gD[1] / g * (summu_new - summu_old)
+                              + (gD[2] - 1) * g * (-lnc))
+                lnpRnew = lnpR
+                if clock > 1:
+                    ndivide += g * (2 * s - 2)
+                    self.rates[:, :] /= c
+                    self.rates[st.root, :] = old_rates[st.root, :]
+                    lnpRnew = self.lnpR()
+                    lnacc += lnpRnew - lnpR
+                lnacc -= ndivide * lnc
+                lnpTnew = self.lnpT()
+                lnacc += lnpTnew - lnpT
+            else:
+                ndivide = g
+                for node in st.internal_nodes():
+                    self.ages[node] *= c
+                self.mu /= c
+                summu_new = self.mu.sum()
+                summu_old = summu_new * c
+                lnacc = ((gD[0] - gD[2] * g)
+                         * math.log(summu_new / summu_old)
+                         - gD[1] / g * (summu_new - summu_old)
+                         + (gD[2] - 1) * g * (-lnc))
+                lnpRnew = lnpR
+                if clock > 1:
+                    ndivide += g * (2 * s - 2)
+                    self.rates[:, :] /= c
+                    self.rates[st.root, :] = old_rates[st.root, :]
+                    # rates at root entry unused; keep consistent
+                    lnpRnew = self.lnpR()
+                    lnacc += lnpRnew - lnpR
+                lnpTnew = self.lnpT()
+                lnacc += lnpTnew - lnpT + (s - 1 - ndivide) * lnc
+            lnpDnew_all = self.lnL_all()
+            lnacc += float(lnpDnew_all.sum() - lnpDi.sum())
             ntry["mix"][0] += 1
-            if lnacc >= 0 or rng.random() < math.exp(max(lnacc, -500)):
+            if (np.isfinite(lnacc)
+                    and (lnacc >= 0
+                         or rng.random() < math.exp(max(lnacc, -500)))):
                 lnpT, lnpR = lnpTnew, lnpRnew
-                lnpDi = self.lnL_all()
+                lnpDi = lnpDnew_all
                 nacc["mix"][0] += 1
             else:
                 self.ages = old_ages
@@ -1054,22 +1306,40 @@ def run_ctl(opts: dict, ctl_path: str, progress=True):
     st = build_species_tree(trees[0], names, bds=spec.bds,
                             root_age=spec.root_age,
                             multiplicative=spec.multiplicative)
+    tipdate_toks = str(g("TipDate", "0")).split()
+    if tipdate_toks and int(float(tipdate_toks[0])):
+        timeunit = (float(tipdate_toks[1])
+                    if len(tipdate_toks) > 1 else None)
+        tip_ages, timeunit, young = parse_tip_dates(names, timeunit)
+        st.tip_ages = tip_ages
+        if len(bd) > 3:
+            st.psi = bd[3]
+        spec.transform = "sqrt"        # reference: mcmctree.c:1562
+        print(f"TipDate model: date range ({max(young - tip_ages.min() * timeunit, young):.2f}"
+              f", {young - tip_ages.max() * timeunit:.2f}) => "
+              f"(0, {tip_ages.max():.4f}).  TimeUnit = {timeunit:.2f}.")
     if usedata in (2, 3):
-        bvfile = "out.BV"
-        per_locus = generate_BV(alns, trees[0], names, model=spec.model,
-                                ncatG=spec.ncatG, alpha0=spec.alpha,
-                                fix_alpha=False, cleandata=spec.cleandata,
-                                outfile=bvfile)
-        if usedata == 3:
-            print(f"wrote {bvfile}")
-            return None
-        loci = []
-        for (data, utopo, bl, grad, H) in per_locus:
-            al = ApproxLocus(names=data.names, topo=utopo, bl=bl,
-                             gradient=grad, hessian=H,
-                             transform=spec.transform)
-            al.transform_gh()
-            loci.append(al)
+        if usedata == 2 and len(usedata_toks) > 1:
+            # read a provided in.BV instead of generating one
+            bvpath = ctlmod.resolve_path(ctl_path, usedata_toks[1])
+            loci = read_BV(bvpath, ndata, transform=spec.transform)
+        else:
+            bvfile = "out.BV"
+            per_locus = generate_BV(alns, trees[0], names, model=spec.model,
+                                    ncatG=spec.ncatG, alpha0=spec.alpha,
+                                    fix_alpha=False,
+                                    cleandata=spec.cleandata,
+                                    outfile=bvfile)
+            if usedata == 3:
+                print(f"wrote {bvfile}")
+                return None
+            loci = []
+            for (data, utopo, bl, grad, H) in per_locus:
+                al = ApproxLocus(names=data.names, topo=utopo, bl=bl,
+                                 gradient=grad, hessian=H,
+                                 transform=spec.transform)
+                al.transform_gh()
+                loci.append(al)
     elif usedata == 1:
         loci = [seqio.pack(a, cleandata=spec.cleandata) for a in alns]
     else:
