@@ -44,6 +44,8 @@ class BasemlSpec:
     Mgene: int = 0
     Malpha: bool = False         # separate alpha per gene
     clock: int = 0               # 0 none; 1 global; 2 local (rates by label)
+    tipdate: bool = False        # dated tips: absolute ages + mutation rate
+    tipdate_timeunit: float | None = None
     fix_rho: bool = True         # AdG rate autocorrelation (rho)
     rho: float = 0.0
     nparK: int = 0               # 1: free rates; 2: free rates + freqs
@@ -221,9 +223,13 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     branch_nodes = topo.branch_nodes()
     nb = len(branch_nodes)
     clock = spec.clock
+    tipdate = spec.tipdate
     if clock >= 1:
         # rooted tree required; parameters are root age + node proportions
-        # (reference: SetBranch, src/treesub.c:3770)
+        # (reference: SetBranch, src/treesub.c:3770).  With dated tips
+        # (TipDate), ages are absolute: age = AgeLow + (father - AgeLow)*x
+        # and a mutation-rate parameter multiplies times (reference:
+        # SetAge/GetAgeLow, src/treesub.c:3713-3766; GetBranchRate :3680)
         int_nonroot = [n for n in range(topo.ns, topo.nnode)
                        if n != topo.root]
         preorder = []
@@ -234,7 +240,15 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
             for c in topo.children[n]:
                 if c >= topo.ns:
                     stack.append(int(c))
-        n_time = 1 + len(int_nonroot)
+        agelow = np.zeros(topo.nnode)
+        if tipdate:
+            tip_ages_np, _tu, _young = treeio.parse_tip_dates(
+                data.names, spec.tipdate_timeunit)
+            agelow[:topo.ns] = tip_ages_np
+            for n in topo.postorder:
+                agelow[n] = max(agelow[c] for c in topo.children[n]
+                                if c >= 0)
+        n_time = 1 + len(int_nonroot) + (1 if tipdate else 0)
         labels = topo.labels
         n_rate_cls = int(labels.max()) if clock == 2 else 0
     G = data.ngene if spec.Mgene != 1 else 1
@@ -290,8 +304,13 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
         for n in preorder:
             if n == topo.root:
                 continue
-            ages[n] = ages[int(topo.parent[n])] * x[prop_idx[n]]
+            if tipdate:
+                ages[n] = agelow[n] + ((ages[int(topo.parent[n])]
+                                        - agelow[n]) * x[prop_idx[n]])
+            else:
+                ages[n] = ages[int(topo.parent[n])] * x[prop_idx[n]]
         tf = [jnp.asarray(0.0, x.dtype)] * nnode
+        mu = x[1 + len(int_nonroot)] if tipdate else None
         k = n_time
         if clock == 2 and n_rate_cls:
             rate_cls = jnp.concatenate([jnp.ones((1,), x.dtype),
@@ -301,8 +320,10 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
             if n == topo.root:
                 continue
             a_par = ages[int(topo.parent[n])]
-            a_n = ages.get(n, jnp.asarray(0.0, x.dtype))
+            a_n = ages.get(n, jnp.asarray(agelow[n], x.dtype))
             b = a_par - a_n
+            if tipdate:
+                b = b * mu
             if clock == 2 and n_rate_cls:
                 b = b * rate_cls[labels[n]]
             tf[n] = b
@@ -382,9 +403,14 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
 
     # initial values
     if clock >= 1:
-        x0 = [0.2] + [0.6 + 0.3 * (i % 2) * 0.2
-                      for i in range(len(int_nonroot))]
-        bounds = [(1e-5, 50.0)] + [(1e-6, 1 - 1e-6)] * len(int_nonroot)
+        root0 = (agelow[topo.root] * 1.5 + 0.2) if tipdate else 0.2
+        x0 = [root0] + [0.6 + 0.3 * (i % 2) * 0.2
+                        for i in range(len(int_nonroot))]
+        bounds = ([(agelow[topo.root] + 1e-6 if tipdate else 1e-5, 50.0)]
+                  + [(1e-6, 1 - 1e-6)] * len(int_nonroot))
+        if tipdate:
+            x0.append(0.1)                      # mutation rate per time unit
+            bounds.append((1e-5, 99.0))
         if clock == 2 and n_rate_cls:
             x0 += [1.0] * n_rate_cls
             bounds += [(1e-4, 99.0)] * n_rate_cls

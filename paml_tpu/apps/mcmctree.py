@@ -174,44 +174,7 @@ def build_species_tree(tree: treeio.TreeNode, names, bds=(1, 1, 0.1),
                        multiplicative=multiplicative)
 
 
-def parse_tip_dates(names: list[str], timeunit: float | None = None):
-    """Sampling dates from the last numeric field of each sequence name
-    (reference: GetTipDate, treesub.c:3552).  Supports plain numbers
-    (e.g. 'P03h1995' -> 1995) and yyyy-mm-dd (converted to day numbers).
-    Returns (tip_ages, timeunit, youngest): age = (youngest-date)/timeunit,
-    so the most recent tip is age 0."""
-    import re
-
-    dates = []
-    ymd = False
-    for name in names:
-        m = re.search(r"([0-9][0-9.\-]*)$", name)
-        if not m:
-            dates.append(None)
-            continue
-        tok = m.group(1)
-        if "-" in tok.strip("-"):
-            import datetime
-            parts = [int(x) for x in tok.split("-") if x]
-            y, mo, d = (parts + [1, 15])[:3]
-            epoch = datetime.date(1970, 1, 1)
-            dates.append((datetime.date(y, max(mo, 1), max(d, 1))
-                          - epoch).days * 1.0)
-            ymd = True
-        else:
-            dates.append(float(tok.rstrip(".-")))
-    if any(d is None for d in dates):
-        raise ValueError("TipDate model requires a sampling date in every "
-                         "sequence name")
-    arr = np.array(dates)
-    young, old = arr.max(), arr.min()
-    if young - old < 1e-100:
-        raise ValueError("TipDate: all sequences have the same age")
-    if timeunit is None or timeunit <= 0:
-        timeunit = (young - old) * 2.5
-    ages = (young - arr) / timeunit
-    ages[ages < 1e-100] = 0.0
-    return ages, timeunit, float(young)
+from ..io.treeio import parse_tip_dates  # noqa: E402  (re-export)
 
 
 def _ln_prior_times_tipdate(st: SpeciesTree, ages: np.ndarray) -> float:

@@ -77,7 +77,12 @@ def baseml_spec(opts: dict, ctl_path: str):
         Malpha=bool(int(_first_num(g("Malpha", "0")))),
         cleandata=bool(int(_first_num(g("cleandata", "0")))),
         getSE=bool(int(_first_num(g("getSE", "0")))),
+        clock=int(_first_num(g("clock", "0"))),
     )
+    td = str(g("TipDate", "0")).split()
+    if td and int(float(td[0])):
+        spec.tipdate = True
+        spec.tipdate_timeunit = float(td[1]) if len(td) > 1 else None
     if spec.ncatG > 1 and spec.fix_alpha and spec.alpha == 0:
         spec.ncatG = 1
     elif spec.alpha > 0 or not spec.fix_alpha:

@@ -216,6 +216,44 @@ def write_newick(root: TreeNode, branch_lengths: bool = True,
     return fmt(root) + ";"
 
 
+def parse_tip_dates(names: list[str], timeunit: float | None = None):
+    """Sampling dates from the last numeric field of each sequence name
+    (reference: GetTipDate, treesub.c:3552).  Supports plain numbers
+    (e.g. 'P03h1995' -> 1995) and yyyy-mm-dd (converted to day numbers).
+    Returns (tip_ages, timeunit, youngest): age = (youngest-date)/timeunit,
+    so the most recent tip is age 0."""
+    import numpy as np
+
+    dates = []
+    for name in names:
+        m = re.search(r"([0-9][0-9.\-]*)$", name)
+        if not m:
+            dates.append(None)
+            continue
+        tok = m.group(1)
+        if "-" in tok.strip("-"):
+            import datetime
+            parts = [int(x) for x in tok.split("-") if x]
+            y, mo, d = (parts + [1, 15])[:3]
+            epoch = datetime.date(1970, 1, 1)
+            dates.append((datetime.date(y, max(mo, 1), max(d, 1))
+                          - epoch).days * 1.0)
+        else:
+            dates.append(float(tok.rstrip(".-")))
+    if any(d is None for d in dates):
+        raise ValueError("TipDate model requires a sampling date in every "
+                         "sequence name")
+    arr = np.array(dates)
+    young, old = arr.max(), arr.min()
+    if young - old < 1e-100:
+        raise ValueError("TipDate: all sequences have the same age")
+    if timeunit is None or timeunit <= 0:
+        timeunit = (young - old) * 2.5
+    ages = (young - arr) / timeunit
+    ages[ages < 1e-100] = 0.0
+    return ages, timeunit, float(young)
+
+
 # --- calibration annotation grammar (reference: src/treesub.c:8653) -------
 
 _DIST_RE = re.compile(r"([A-Za-z0-9]+)\s*[({]([^)}]*)[)}]")

@@ -67,6 +67,24 @@ def test_tipdate_prior_finite_and_root_bound(hiv2):
     assert M.ln_prior_times(st, ages_hi) < lp
 
 
+def test_tipdate_ml_baseml_matches_reference(hiv2, tmp_path):
+    """ML TipDate (baseml clock=1, HKY85+G5): fresh reference run gives
+    lnL -12352.105674, rate 0.232871 per time unit, alpha 0.32045."""
+    from paml_tpu.apps import baseml
+    aln, names, tree = hiv2
+    text = open(HIV2 + "/HIV2ge.tre").read()
+    first = text[text.index("("):text.index(";") + 1]
+    (tmp_path / "one.tre").write_text(" 33 1\n" + first + "\n")
+    spec = baseml.BasemlSpec(model="HKY85", ncatG=5, fix_alpha=False,
+                             alpha=0.5, clock=1, tipdate=True,
+                             tipdate_timeunit=100.0)
+    res = baseml.fit(HIV2 + "/HIV2ge.txt", str(tmp_path / "one.tre"), spec)
+    assert abs(res.lnL - (-12352.105674)) < 5e-3
+    mu = res.x[32]                # 1 root age + 31 proportions, then rate
+    assert abs(mu - 0.232871) < 5e-4
+    assert abs(res.alpha[0] - 0.32045) < 5e-3
+
+
 def test_tipdate_posterior_matches_reference(hiv2):
     aln, names, tree = hiv2
     st = M.build_species_tree(tree, names, bds=(2, 1, 0),
