@@ -203,14 +203,64 @@ def simulate_aa(datfile: str, out="mc.paml", seed=None):
 
 
 def main(argv):
+    """Modes mirror the reference evolver menu (src/evolver.c:159-168):
+    1/2 random unrooted/rooted trees, 3/4 list all unrooted/rooted trees,
+    5/6/7 simulate nuc/codon/aa data, 8 partition distances between
+    trees."""
     if len(argv) < 2:
         print(__doc__)
         sys.exit(2)
-    mode, datfile = argv[0], argv[1]
+    mode = argv[0]
+    if mode in ("1", "2"):
+        from . import treegen
+        from ..io.treeio import write_newick
+        import numpy as np
+        ns = int(argv[1])
+        ntree = int(argv[2]) if len(argv) > 2 else 1
+        seed = int(argv[3]) if len(argv) > 3 else 1
+        bd = [float(v) for v in argv[4:8]]  # birth death sample mut
+        rng = np.random.default_rng(seed)
+        out = "evolver.out"
+        with open(out, "w") as f:
+            for _ in range(ntree):
+                if bd:
+                    t = treegen.random_tree_bd(
+                        ns, rooted=(mode == "2"), birth=bd[0], death=bd[1],
+                        sample=bd[2], mut=bd[3], rng=rng)
+                else:
+                    t, _h = treegen.random_labeled_history(
+                        ns, rooted=(mode == "2"), rng=rng)
+                f.write(write_newick(t, branch_lengths=bool(bd)) + "\n")
+        print(f"{ntree} random {'rooted' if mode == '2' else 'unrooted'} "
+              f"tree(s) -> {out}")
+        return
+    if mode in ("3", "4"):
+        from . import treegen
+        from ..io.treeio import write_newick
+        ns = int(argv[1])
+        out = "evolver.out"
+        n = 0
+        with open(out, "w") as f:
+            for t in treegen.list_trees(ns, rooted=(mode == "4")):
+                f.write(write_newick(t, branch_lengths=False) + "\n")
+                n += 1
+        print(f"{n} {'rooted' if mode == '4' else 'unrooted'} trees -> "
+              f"{out}")
+        return
+    if mode == "8":
+        from . import treegen
+        sh, rf = treegen.tree_distances_file(argv[1])
+        n = len(sh)
+        print("pairwise (shared partitions, partition distance):")
+        for i in range(n):
+            print(" ".join(f"{sh[i, j]}/{rf[i, j]}" for j in range(n)))
+        return
+    datfile = argv[1]
     out = argv[2] if len(argv) > 2 else "mc.paml"
     fn = {"5": simulate_nuc, "6": simulate_codon, "7": simulate_aa}.get(mode)
     if fn is None:
-        print(f"unknown evolver mode {mode}; use 5 (nuc), 6 (codon), 7 (aa)")
+        print(f"unknown evolver mode {mode}; use 1-4 (trees), 5 (nuc), "
+              "6 (codon), 7 (aa), 8 (distances)")
         sys.exit(2)
     path, nrepl = fn(datfile, out)
     print(f"simulated {nrepl} replicate(s) -> {path}")
