@@ -47,6 +47,41 @@ def run_baseml(ctl_path: str) -> None:
 
     opts = ctlmod.read_ctl(ctl_path)
     spec, seqfile, treefile, outfile, extras = ctlmod.baseml_spec(opts, ctl_path)
+    if extras["clock"] in (5, 6):
+        # heterogeneous multi-locus dating (reference: DatingHeteroData,
+        # src/treesub.c:10100)
+        from .apps import clock56
+        spec56 = clock56.Clock56Spec(
+            model=spec.model, clock=extras["clock"],
+            fix_kappa=spec.fix_kappa,
+            kappa=[float(v) for v in str(opts.get("kappa", "2")).split()],
+            fix_alpha=spec.fix_alpha,
+            alpha=[float(v) for v in str(opts.get("alpha", "0")).split()],
+            ncatG=spec.ncatG, cleandata=spec.cleandata, getSE=spec.getSE)
+        res = clock56.fit(treefile, seqfile, extras["ndata"], spec56)
+        with open(outfile, "w") as out:
+            out.write(f"BASEML (paml_tpu) clock = {extras['clock']} "
+                      f"({extras['ndata']} loci)\n")
+            out.write(f"lnL = {res.lnL:.6f}   np = {res.np}\n\nNode ages:\n")
+            st = res.sp_topo
+            for n in range(st.ns, st.nnode):
+                out.write(f"  node {n + 1}: {res.ages[n]:.6f}\n")
+            out.write("\nSubstitution rates for genes (per time unit)\n")
+            for g, r in enumerate(res.rates):
+                out.write(f"  Gene {g + 1}: "
+                          + " ".join(f"{v:.5f}" for v in r) + "\n")
+            if res.kappa is not None:
+                out.write("\nkappa for genes\n  "
+                          + " ".join(f"{v:.5f}" for v in res.kappa.ravel())
+                          + "\n")
+            if res.alpha is not None:
+                out.write("\nalpha for genes\n  "
+                          + " ".join(f"{v:.5f}" for v in res.alpha) + "\n")
+            if res.SEs is not None:
+                out.write("\nSEs:\n  "
+                          + " ".join(f"{v:.5f}" for v in res.SEs) + "\n")
+        print(f"lnL = {res.lnL:.6f}; results written to {outfile}")
+        return
     aln = seqio.read_alignment(seqfile, seqio.BASE_SEQ)
     data = seqio.pack(aln, cleandata=spec.cleandata)
     trees = treeio.read_trees(treefile, data.names)
@@ -192,11 +227,23 @@ def run_chi2(args: list[str]) -> None:
             print(f"{df:3d}  {row}")
 
 
+def _init_jax_backend() -> None:
+    """Fall back to CPU when the pinned platform is unavailable."""
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
+
 def main(argv: list[str] | None = None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print(__doc__)
         return
+    _init_jax_backend()
     prog, *rest = argv
     if prog == "baseml":
         run_baseml(rest[0] if rest else "baseml.ctl")

@@ -49,6 +49,9 @@ def _parse_suffix(node: TreeNode, s: str, i: int) -> int:
         elif c == "'" or c == '"':
             j = s.index(c, i + 1)
             node.annotation = s[i + 1:j]
+            m = re.fullmatch(r"@\s*([0-9.eE+-]+)", node.annotation.strip())
+            if m:    # quoted fossil age, e.g. ')  '@0.45'' (reference: @)
+                node.age = float(m.group(1))
             i = j + 1
         elif c == "[":
             j = s.index("]", i + 1)
