@@ -227,11 +227,20 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     if clock >= 1:
         # rooted tree required; parameters are root age + node proportions
         # (reference: SetBranch, src/treesub.c:3770).  With dated tips
-        # (TipDate), ages are absolute: age = AgeLow + (father - AgeLow)*x
-        # and a mutation-rate parameter multiplies times (reference:
-        # SetAge/GetAgeLow, src/treesub.c:3713-3766; GetBranchRate :3680)
+        # (TipDate) or '@' fossil point calibrations, ages are absolute:
+        # age = AgeLow + (father - AgeLow)*x, fossil nodes fixed, and a
+        # mutation-rate parameter (rate00) multiplies times (reference:
+        # SetAge/GetAgeLow, src/treesub.c:3713-3766; GetBranchRate :3682;
+        # AbsoluteRate/NFossils flags :3639)
         int_nonroot = [n for n in range(topo.ns, topo.nnode)
                        if n != topo.root]
+        fossil = {}
+        if topo.ages0 is not None:
+            for n in range(topo.ns, topo.nnode):
+                a = topo.ages0[n]
+                if a == a and a > 0:
+                    fossil[int(n)] = float(a)
+        absrate = tipdate or bool(fossil)
         preorder = []
         stack = [topo.root]
         while stack:
@@ -245,12 +254,16 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
             tip_ages_np, _tu, _young = treeio.parse_tip_dates(
                 data.names, spec.tipdate_timeunit)
             agelow[:topo.ns] = tip_ages_np
+        if absrate:
             for n in topo.postorder:
-                agelow[n] = max(agelow[c] for c in topo.children[n]
-                                if c >= 0)
-        n_time = 1 + len(int_nonroot) + (1 if tipdate else 0)
+                agelow[n] = max(fossil.get(int(c), agelow[int(c)])
+                                for c in topo.children[n] if c >= 0)
+        free_int = [n for n in int_nonroot if n not in fossil]
+        root_fossil = int(topo.root) in fossil
+        n_time = ((0 if root_fossil else 1) + len(free_int)
+                  + (1 if absrate else 0))
         labels = topo.labels
-        n_rate_cls = int(labels.max()) if clock == 2 else 0
+        n_rate_cls = int(labels.max()) if clock in (2, 3) else 0
     G = data.ngene if spec.Mgene != 1 else 1
     per_gene_rates = spec.Mgene >= 3 and G > 1
     per_gene_pi = spec.Mgene in (2, 4) and G > 1
@@ -299,18 +312,22 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
         if clock == 0:
             tfull = jnp.zeros((nnode,), x.dtype).at[bn].set(x[:nb])
             return tfull, nb
-        ages = {topo.root: x[0]}
-        prop_idx = {n: 1 + i for i, n in enumerate(int_nonroot)}
+        nroot_free = 0 if root_fossil else 1
+        ages = {topo.root: (jnp.asarray(fossil[int(topo.root)], x.dtype)
+                            if root_fossil else x[0])}
+        prop_idx = {n: nroot_free + i for i, n in enumerate(free_int)}
         for n in preorder:
             if n == topo.root:
                 continue
-            if tipdate:
+            if n in fossil:
+                ages[n] = jnp.asarray(fossil[n], x.dtype)
+            elif absrate:
                 ages[n] = agelow[n] + ((ages[int(topo.parent[n])]
                                         - agelow[n]) * x[prop_idx[n]])
             else:
                 ages[n] = ages[int(topo.parent[n])] * x[prop_idx[n]]
         tf = [jnp.asarray(0.0, x.dtype)] * nnode
-        mu = x[1 + len(int_nonroot)] if tipdate else None
+        mu = x[nroot_free + len(free_int)] if absrate else None
         k = n_time
         if clock == 2 and n_rate_cls:
             rate_cls = jnp.concatenate([jnp.ones((1,), x.dtype),
@@ -322,7 +339,7 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
             a_par = ages[int(topo.parent[n])]
             a_n = ages.get(n, jnp.asarray(agelow[n], x.dtype))
             b = a_par - a_n
-            if tipdate:
+            if absrate:
                 b = b * mu
             if clock == 2 and n_rate_cls:
                 b = b * rate_cls[labels[n]]
@@ -332,6 +349,8 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     def unpack(x):
         tfull, k = branch_lengths(x)
         t = tfull[bn]
+        if clock == 3 and n_rate_cls:
+            k += G * n_rate_cls
         rgene = jnp.concatenate([jnp.ones((1,), x.dtype), x[k:k + nrgene]])
         k += nrgene
         rates = x[k:k + nrate] if nrate else fixed_kappa
@@ -348,6 +367,15 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
         tfull, k_used = branch_lengths(x)
         if adg or nparK:
             return _neg_lnl_ratehmm(x, tfull, rates, alpha)
+        if clock == 3 and n_rate_cls:
+            # combined analysis (Yang & Yoder 2003): per-gene rates for
+            # the labeled branch classes (reference: GetBranchRate
+            # ClockCombined arm, src/treesub.c:3705-3707); class-0 rates
+            # fold into rgene, so the reported class-j rate for gene g is
+            # rgene[g] * cls[g, j] -- the same manifold as the reference's
+            # absolute per-(gene, class) rates
+            cls = x[k_used:k_used + G * n_rate_cls].reshape(G, n_rate_cls)
+            lab_j = jnp.asarray(labels.astype(np.int64))
         total = jnp.asarray(0.0, dtype)
         for g in range(G):
             a_g = alpha[g if nalpha == G and G > 1 else 0]
@@ -363,7 +391,11 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
             rates_g = (rates[g * nr1:(g + 1) * nr1] if per_gene_rates
                        else rates)
             pig = jnp.asarray(pi_g[g], dtype)
-            ts = tfull[:, None] * (r[None, :] * rgene[g])
+            tg = tfull
+            if clock == 3 and n_rate_cls:
+                cfac = jnp.concatenate([jnp.ones((1,), x.dtype), cls[g]])
+                tg = tfull * cfac[lab_j]
+            ts = tg[:, None] * (r[None, :] * rgene[g])
             P, pi_root = nuc.pmats_for_model(model, rates_g, pig, ts, step)
             piC = jnp.broadcast_to(pi_root, (r.shape[0], 4))
             total = total + pruning.lnL(P, tips_g[g], topo, piC, w, fpatt_g[g])
@@ -403,17 +435,22 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
 
     # initial values
     if clock >= 1:
-        root0 = (agelow[topo.root] * 1.5 + 0.2) if tipdate else 0.2
-        x0 = [root0] + [0.6 + 0.3 * (i % 2) * 0.2
-                        for i in range(len(int_nonroot))]
-        bounds = ([(agelow[topo.root] + 1e-6 if tipdate else 1e-5, 50.0)]
-                  + [(1e-6, 1 - 1e-6)] * len(int_nonroot))
-        if tipdate:
-            x0.append(0.1)                      # mutation rate per time unit
+        root0 = (agelow[topo.root] * 1.5 + 0.2) if absrate else 0.2
+        x0 = ([] if root_fossil else [root0]) \
+            + [0.6 + 0.3 * (i % 2) * 0.2 for i in range(len(free_int))]
+        bounds = ([] if root_fossil else
+                  [(agelow[topo.root] + 1e-6 if absrate else 1e-5,
+                    max(50.0, agelow[topo.root] * 10))]) \
+            + [(1e-6, 1 - 1e-6)] * len(free_int)
+        if absrate:
+            x0.append(0.1)                      # rate00 per time unit
             bounds.append((1e-5, 99.0))
         if clock == 2 and n_rate_cls:
             x0 += [1.0] * n_rate_cls
             bounds += [(1e-4, 99.0)] * n_rate_cls
+        if clock == 3 and n_rate_cls:
+            x0 += [1.0] * (G * n_rate_cls)
+            bounds += [(1e-4, 99.0)] * (G * n_rate_cls)
     else:
         t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
         if not (t0 > 0).any():

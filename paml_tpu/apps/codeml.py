@@ -36,6 +36,7 @@ PQ_MIN, PQ_MAX = 0.005, 99.0           # beta p, q
 TRANS_MIN, TRANS_MAX = -99.0, 99.0     # transformed proportions
 
 NSSITES_NONE, M1A, M2A, M3, M4, M5, M7, M8 = 0, 1, 2, 3, 4, 5, 7, 8
+M6, M9, M10, M11, M12, M13 = 6, 9, 10, 11, 12, 13
 M2A_REL = 22
 
 
@@ -51,6 +52,9 @@ class CodemlSpec:
     kappa: float = 2.0
     fix_omega: bool = False
     omega: float = 0.4
+    aaDist: int = 0              # +-1..6 chemical distances; 7 AAClasses;
+                                 # 11 FIT1, 12 FIT2 (src/codeml.c:238)
+    omegaAA: str | None = None   # OmegaAA.dat path/text for aaDist = 7
     fix_alpha: bool = True
     alpha: float = 0.0
     cleandata: bool = False
@@ -100,6 +104,86 @@ def gamma_median_quantiles(alpha, beta, K: int):
     return gammaincinv(alpha, ys) / beta
 
 
+def cdf_quantiles(cdf, K: int, lo=1e-7, hi=99.0, iters=70):
+    """Median quantiles of an arbitrary omega distribution by bisection
+    with an implicit-gradient Newton polish (reference: Quantile(CDFdN_dS)
+    in DiscreteNSsites, src/codeml.c:2873-2877).  `cdf` maps an array of
+    omegas to CDF values and may depend on parameters in its closure --
+    the final Newton step carries exact parameter gradients."""
+    p = (jnp.arange(K) + 0.5) / K
+
+    def bis(_, lh):
+        l, h = lh
+        m = (l + h) / 2
+        c = cdf(m)
+        return jnp.where(c < p, m, l), jnp.where(c < p, h, m)
+
+    l0 = jnp.full((K,), lo)
+    h0 = jnp.full((K,), hi)
+    l, h = jax.lax.fori_loop(0, iters, bis, (l0, h0))
+    x = jax.lax.stop_gradient((l + h) / 2)
+    for _ in range(2):
+        pdf = jax.jvp(cdf, (x,), (jnp.ones_like(x),))[1]
+        x = x - (cdf(x) - p) / jnp.maximum(pdf, 1e-12)
+        x = jnp.clip(x, lo, hi)
+    return x
+
+
+def _cdf_beta(x, p, q):
+    from ..core.dgamma import betainc
+    return betainc(p, q, jnp.clip(x, 1e-12, 1.0 - 1e-12))
+
+
+def _cdf_gamma(x, a, b):
+    from jax.scipy.special import gammainc
+    return gammainc(a, b * jnp.maximum(x, 0.0))
+
+
+def _ndtr(x):
+    return jax.scipy.stats.norm.cdf(x)
+
+
+def nssites_mixture_cdf(NSsites: int, theta):
+    """CDF of the continuous part of the omega distribution for models
+    M6/M9-M13 (reference: CDFdN_dS, src/codeml.c:2916-2983)."""
+    if NSsites == M6:          # 2gamma: p0, a1, b1, a2 (=b2)
+        p0, a1, b1, a2 = theta[0], theta[1], theta[2], theta[3]
+        return lambda x: (p0 * _cdf_gamma(x, a1, b1)
+                          + (1 - p0) * _cdf_gamma(x, a2, a2))
+    if NSsites == M9:          # beta&gamma: p0, p, q, a, b
+        p0, p, q, a, b = (theta[i] for i in range(5))
+        return lambda x: (p0 * _cdf_beta(x, p, q)
+                          + (1 - p0) * _cdf_gamma(x, a, b))
+    if NSsites == M10:         # beta&gamma+1
+        p0, p, q, a, b = (theta[i] for i in range(5))
+        return lambda x: jnp.where(
+            x <= 1.0, p0 * _cdf_beta(x, p, q),
+            p0 + (1 - p0) * _cdf_gamma(x - 1.0, a, b))
+    if NSsites == M11:         # beta&normal>1: p0, p, q, mu, s
+        p0, p, q, mu, s = (theta[i] for i in range(5))
+        z1 = jnp.maximum(_ndtr((mu - 1.0) / s), 1e-12)
+        return lambda x: jnp.where(
+            x <= 1.0, p0 * _cdf_beta(x, p, q),
+            p0 + (1 - p0) * (1.0 - _ndtr((mu - x) / s) / z1))
+    if NSsites == M12:         # 0&2normal (continuous part): p0,p1,mu2,s1,s2
+        p1, mu2, s1, s2 = theta[1], theta[2], theta[3], theta[4]
+        return lambda x: (1.0
+                          - p1 * _ndtr(-(x - 1.0) / s1) / _ndtr(1.0 / s1)
+                          - (1 - p1) * _ndtr(-(x - mu2) / s2)
+                          / jnp.maximum(_ndtr(mu2 / s2), 1e-12))
+    if NSsites == M13:         # 3normal: t0, t1 (transformed), mu2,s0,s1,s2
+        e0, e1 = jnp.exp(theta[0]), jnp.exp(theta[1])
+        z = e0 + e1 + 1.0
+        f0, f1 = e0 / z, e1 / z
+        f2 = 1.0 - f0 - f1
+        mu2, s0, s1, s2 = theta[2], theta[3], theta[4], theta[5]
+        return lambda x: (1.0 - f0 * 2.0 * _ndtr(-x / s0)
+                          - f1 * _ndtr(-(x - 1.0) / s1) / _ndtr(1.0 / s1)
+                          - f2 * _ndtr(-(x - mu2) / s2)
+                          / jnp.maximum(_ndtr(mu2 / s2), 1e-12))
+    raise ValueError(f"NSsites {NSsites}")
+
+
 def nssites_nparams(NSsites: int, ncatG: int, fix_omega: bool) -> int:
     """Number of distribution parameters after kappa (excluding M0 omega)."""
     if NSsites == M1A:
@@ -116,6 +200,12 @@ def nssites_nparams(NSsites: int, ncatG: int, fix_omega: bool) -> int:
         return 2                       # p, q
     if NSsites == M8:
         return 3 + (0 if fix_omega else 1)   # p0, p, q, [ws]
+    if NSsites == M6:
+        return 4                       # p0, a1, b1, a2
+    if NSsites in (M9, M10, M11, M12):
+        return 5
+    if NSsites == M13:
+        return 6
     raise ValueError(f"NSsites {NSsites} not supported yet")
 
 
@@ -153,6 +243,25 @@ def nssites_classes(NSsites: int, theta, ncatG: int, fix_omega: bool,
         freqs = jnp.concatenate([jnp.full((ncatG,), 1.0 / ncatG, dtype) * p0,
                                  (1.0 - p0)[None]])
         return omegas, freqs
+    if NSsites in (M6, M9, M10, M11):
+        cdf = nssites_mixture_cdf(NSsites, theta)
+        w = cdf_quantiles(cdf, ncatG)
+        return w, jnp.full((ncatG,), 1.0 / ncatG, dtype)
+    if NSsites == M12:
+        # spike at 0 (freq p0) + ncatG-1 classes from the 2-normal mixture
+        # (reference: DiscreteNSsites NS02normal shift, src/codeml.c:2888)
+        p0 = theta[0]
+        K = ncatG - 1
+        cdf = nssites_mixture_cdf(NSsites, theta)
+        wc = cdf_quantiles(cdf, K)
+        w = jnp.concatenate([jnp.zeros((1,), dtype), wc])
+        freqs = jnp.concatenate([p0[None],
+                                 jnp.full((K,), 1.0 / K, dtype) * (1 - p0)])
+        return w, freqs
+    if NSsites == M13:
+        cdf = nssites_mixture_cdf(NSsites, theta)
+        w = cdf_quantiles(cdf, ncatG)
+        return w, jnp.full((ncatG,), 1.0 / ncatG, dtype)
     raise ValueError(f"NSsites {NSsites}")
 
 
@@ -184,6 +293,27 @@ def nssites_x0_bounds(NSsites: int, ncatG: int, fix_omega: bool,
             x0.append(2.0)
             b.append((1.0, W_MAX))
         return x0, b
+    # reference initials/bounds: GetInitialsNSsites/SetxBound,
+    # src/codeml.c:2277-2313/:1980-2013
+    if NSsites == M6:
+        return ([0.5, 1.0, 1.1, 1.2],
+                [(P_MIN, P_MAX)] + [(0.02, 49.0)] * 3)
+    if NSsites == M9:
+        return ([0.9, 0.4, 1.2, 1.1, 1.1],
+                [(P_MIN, P_MAX)] + [(PQ_MIN, PQ_MAX)] * 4)
+    if NSsites == M10:
+        return ([0.9, 0.4, 1.2, 0.1, 1.1],
+                [(P_MIN, P_MAX)] + [(PQ_MIN, PQ_MAX)] * 4)
+    if NSsites == M11:
+        return ([0.95, 0.4, 1.2, 1.1, 1.1],
+                [(P_MIN, P_MAX)] + [(PQ_MIN, PQ_MAX)] * 2
+                + [(1.0, 9.0), (PQ_MIN, PQ_MAX)])
+    if NSsites == M12:
+        return ([0.8, 0.3, 0.2, 5.0, 1.1],
+                [(P_MIN, P_MAX)] * 2 + [(1e-4, 29.0)] * 3)
+    if NSsites == M13:
+        return ([0.77, 0.22, 0.2, 0.5, 5.0, 1.1],
+                [(-49.0, 49.0)] * 2 + [(1e-4, 29.0)] * 4)
     raise ValueError(f"NSsites {NSsites}")
 
 
@@ -215,6 +345,18 @@ def nssites_extra_starts(NSsites: int, ncatG: int, fix_omega: bool):
         return [[0.9, 0.05]]
     if NSsites == M5:
         return [[1.1, 1.1]]
+    if NSsites == M6:
+        return [[0.9, 0.5, 0.6, 2.0], [0.2, 2.0, 2.0, 0.5]]
+    if NSsites == M9:
+        return [[0.5, 1.0, 2.0, 0.5, 0.5]]
+    if NSsites == M10:
+        return [[0.5, 1.0, 2.0, 0.5, 1.0]]
+    if NSsites == M11:
+        return [[0.7, 0.3, 1.5, 1.5, 0.5]]
+    if NSsites == M12:
+        return [[0.3, 0.7, 1.5, 1.0, 0.5]]
+    if NSsites == M13:
+        return [[0.0, 0.0, 1.5, 1.0, 1.0, 0.5]]
     return []
 
 
@@ -406,6 +548,173 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
     return neg_lnl, unpack, classes_for, np.array(x0), bounds, pi_np
 
 
+# --- aaDist / AAClasses / fitness models ------------------------------------
+
+AACHEM_P = np.array([8.1, 10.5, 11.6, 13, 5.5, 10.5, 12.3, 9, 10.4, 5.2,
+                     4.9, 11.3, 5.7, 5.2, 8, 9.2, 8.6, 5.4, 6.2, 5.9]) / 13.0
+AACHEM_V = np.array([31, 124, 56, 54, 55, 85, 83, 3, 96, 111,
+                     111, 119, 105, 132, 32.5, 32, 61, 170, 136, 84]) / 170.0
+# (reference: AAchem p & v rows normalized by the max, src/codeml.c:201,
+#  :1632-1634)
+
+AADIST_FILES = {1: "grantham", 2: "miyata", 3: "g1974c", 4: "g1974p",
+                5: "g1974v", 6: "g1974a"}
+
+
+def parse_omega_aa(text: str, graph) -> np.ndarray:
+    """Parse OmegaAA.dat (reference: GetOmegaAA, src/codeml.c:4079):
+    returns (n_omega, class index per aa pair [20, 20]).  Class 0 is the
+    background; a leading -1 requests the general model (one omega per
+    one-step aa pair)."""
+    from ..constants import AA_ORDER
+    one_step = np.zeros((20, 20), dtype=bool)
+    aa_i = graph.aa[graph.pi_idx]
+    aa_j = graph.aa[graph.pj_idx]
+    ns = aa_i != aa_j
+    one_step[aa_i[ns], aa_j[ns]] = True
+    one_step |= one_step.T
+    toks = text.split()
+    ncls = int(toks[0])
+    cls = np.zeros((20, 20), dtype=np.int64)
+    if ncls == -1:                    # general model: one w per 1-step pair
+        k = 0
+        for i in range(20):
+            for j in range(i):
+                if one_step[i, j]:
+                    cls[i, j] = cls[j, i] = k
+                    k += 1
+        return k, cls
+    import re as _re
+    for m in _re.finditer(r"(\d+)\s*:\s*([A-Za-z ]+)", text):
+        ic = int(m.group(1))
+        if ic == 0 or ic >= ncls:
+            continue
+        for pair in m.group(2).split():
+            if len(pair) != 2:
+                continue
+            a, b = AA_ORDER.index(pair[0].upper()), AA_ORDER.index(pair[1].upper())
+            if not one_step[a, b]:
+                continue              # unreachable in one step: ignored
+            cls[a, b] = cls[b, a] = ic
+    return ncls, cls
+
+
+def make_aadist_objective(data: seqio.PackedData, topo: Topology,
+                          spec: CodemlSpec, dtype=jnp.float64):
+    """Objective for aaDist models (reference: GetOmega, src/codeml.c:3020):
+    +-1..6 chemical-distance omegas w = b*exp(-a*d) (geometric, +) or
+    b*(1-a*d) (linear, -); 7 = AAClasses (per-pair omega classes from
+    OmegaAA.dat, optionally crossed with branch types under model=2);
+    11/12 = FIT1/FIT2 fitness models (Yang et al. 1998)."""
+    from ..models import aa as aamod
+    graph = codonmod.codon_graph(spec.icode)
+    fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
+        data.tip_partials, data.fpatt, graph, data.pos_masks)
+    pi_np = codonmod.codon_pi(spec.codonf, fcodon, f3x4, f1x4, graph)
+    pf3x4 = codonmod.mg_pf3x4(spec.codonf, f3x4, f1x4)
+    pi = jnp.asarray(pi_np, dtype)
+    tips = jnp.asarray(data.tip_partials, dtype)
+    fpatt = jnp.asarray(data.fpatt, dtype)
+    branch_nodes = topo.branch_nodes()
+    nb = len(branch_nodes)
+    bn = jnp.asarray(branch_nodes)
+    nnode = topo.nnode
+    nkappa = 0 if spec.fix_kappa else (5 if spec.hkyREV else 1)
+    B = _n_btypes(topo, spec.model) if spec.model else 1
+    btype = np.zeros(nnode, dtype=np.int64)
+    if spec.model == 2:
+        btype = topo.labels.astype(np.int64)
+    btype_j = jnp.asarray(btype)
+
+    aa_i = jnp.asarray(graph.aa[graph.pi_idx])
+    aa_j = jnp.asarray(graph.aa[graph.pj_idx])
+    nonsyn = jnp.asarray(~graph.is_syn)
+    ad = spec.aaDist
+    if ad in (11, 12):                      # FIT1 / FIT2
+        n_pom = (4 + (ad == 12)) * B
+        chem_p = jnp.asarray(AACHEM_P)
+        chem_v = jnp.asarray(AACHEM_V)
+    elif ad == 7:                           # AAClasses
+        text = spec.omegaAA or ""
+        if text and "\n" not in text and len(text) < 4096:
+            import os as _os
+            if _os.path.exists(text):
+                text = open(text).read()
+        n_omega, cls = parse_omega_aa(text, graph)
+        edge_cls = jnp.asarray(cls[np.asarray(graph.aa[graph.pi_idx]),
+                                   np.asarray(graph.aa[graph.pj_idx])])
+        n_pom = n_omega * B
+    else:                                   # +-1..6 chemical distances
+        D = aamod.load_distance(AADIST_FILES[abs(ad)])
+        D = D / D.max()                     # reference: GetDaa normalization
+        edge_d = jnp.asarray(D[np.asarray(graph.aa[graph.pi_idx]),
+                               np.asarray(graph.aa[graph.pj_idx])])
+        n_pom = 2 * B
+
+    def unpack(x):
+        t = x[:nb]
+        k = nb
+        kappa = x[k:k + nkappa] if nkappa else jnp.asarray(
+            [spec.kappa] * (5 if spec.hkyREV else 1), dtype)
+        k += nkappa
+        pom = x[k:k + n_pom].reshape(B, -1)
+        return t, kappa, pom
+
+    def w_pair_of(pom_b):
+        if ad in (11, 12):
+            fit = (-pom_b[0] * (chem_p - pom_b[1]) ** 2
+                   - pom_b[2] * (chem_v - pom_b[3]) ** 2)
+            w = jnp.exp(-fit[aa_i] - fit[aa_j])
+            if ad == 12:
+                w = w * pom_b[4]
+        elif ad == 7:
+            w = pom_b[edge_cls]
+        else:
+            w = pom_b[0] * edge_d
+            w = jnp.exp(-w) if ad > 0 else jnp.maximum(1.0 - w, 1e-8)
+            w = w * pom_b[1]
+        return jnp.where(nonsyn, w, 1.0)
+
+    def neg_lnl(x):
+        x = x.astype(dtype)
+        t, kappa, pom = unpack(x)
+        s = codonmod.mutation_part(graph, kappa if spec.hkyREV else kappa[0],
+                                   pf3x4, spec.hkyREV, dtype)
+        Qs, scales = [], []
+        for b in range(B):
+            w_pair = w_pair_of(pom[b])
+            Qs.append(codonmod.build_Q_pair(graph, s, w_pair, pi))
+            scales.append(1.0 / codonmod.mean_rate_pair(graph, s, w_pair, pi))
+        Qs = jnp.stack(Qs)
+        scales = jnp.stack(scales)
+        tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
+        ts = tfull[:, None] * scales[None, :]               # [nnode, B]
+        P_all = jax.vmap(pmat_rev, in_axes=(0, None, 1), out_axes=1)(
+            Qs, pi, ts)                                     # [nnode, B, n, n]
+        node_type = btype_j if B > 1 else jnp.zeros((nnode,), jnp.int64)
+        P = P_all[jnp.arange(nnode), node_type][:, None]    # [nnode, 1, n, n]
+        piC = pi[None, :]
+        return -pruning.lnL(P, tips, topo, piC, jnp.ones((1,), dtype), fpatt)
+
+    t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
+    if not (t0 > 0).any():
+        t0 = np.full(nb, 0.1)
+    x0 = list(np.maximum(t0, BLEN_MIN * 2))
+    bounds = [(BLEN_MIN, BLEN_MAX)] * nb
+    if nkappa:
+        x0 += [spec.kappa] * nkappa
+        bounds += [(KAPPA_MIN, KAPPA_MAX)] * nkappa
+    if ad in (11, 12):
+        per = [0.5, 0.5, 0.5, 0.5] + ([spec.omega] if ad == 12 else [])
+    elif ad == 7:
+        per = [spec.omega] * (n_pom // B)
+    else:
+        per = [0.5, spec.omega]
+    x0 += per * B
+    bounds += [(OMEGA_MIN, OMEGA_MAX)] * n_pom
+    return neg_lnl, unpack, np.array(x0), bounds, pi_np
+
+
 def make_aa_objective(data: seqio.PackedData, topo: Topology,
                       spec: CodemlSpec, dtype=jnp.float64):
     """Amino-acid likelihood (reference: eigenQaa, src/codeml.c:3400;
@@ -472,6 +781,28 @@ def fit_aa_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
         x=np.asarray(res.x), spec=spec)
 
 
+def _fit_aadist(data, topo, spec, dtype=jnp.float64) -> CodemlResult:
+    neg_lnl, unpack, x0, bounds, pi_np = make_aadist_objective(
+        data, topo, spec, dtype)
+    # omega-parameter surfaces here are mildly multimodal; a few spread
+    # starts mirror the reference's rerun-with-new-initials advice
+    n_pom = len(x0) - len(topo.branch_nodes()) - (
+        0 if spec.fix_kappa else (5 if spec.hkyREV else 1))
+    multi = []
+    for scale in (0.3, 3.0):
+        st = x0.copy()
+        st[-n_pom:] = np.asarray(x0[-n_pom:]) * scale
+        multi.append(np.clip(st, [b[0] for b in bounds],
+                             [b[1] for b in bounds]))
+    res = maximize(neg_lnl, x0, bounds, multi_start=multi)
+    t, kappa, pom = unpack(jnp.asarray(res.x))
+    return CodemlResult(
+        lnL=res.lnL, blens=np.asarray(t),
+        branch_nodes=topo.branch_nodes(), kappa=np.asarray(kappa),
+        params={"pomega": np.asarray(pom)}, pi=pi_np, np=len(res.x),
+        topo=topo, fit=res, x=np.asarray(res.x))
+
+
 def fit(seqfile: str, treefile: str, spec: CodemlSpec | None = None,
         tree_index: int = 0, dtype=jnp.float64) -> CodemlResult:
     spec = spec or CodemlSpec()
@@ -488,6 +819,8 @@ def fit(seqfile: str, treefile: str, spec: CodemlSpec | None = None,
 
 def fit_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
                dtype=jnp.float64) -> CodemlResult:
+    if spec.aaDist:
+        return _fit_aadist(data, topo, spec, dtype)
     neg_lnl, unpack, classes_for, x0, bounds, pi_np = \
         make_codon_objective(data, topo, spec, dtype)
     multi = None

@@ -498,23 +498,65 @@ def pack(aln: Alignment, cleandata: bool = False, icode: int = 0) -> PackedData:
     pattern_site_all = np.concatenate(psite_list)
     pos_masks = (pos_masks_full[:, pattern_site_all]
                  if pos_masks_full is not None else None)
-    # observed frequencies: per-species over resolved characters (weighted by
-    # pattern counts), then averaged across species (reference:
-    # InitializeBaseAA, src/treesub.c:1548)
+    # observed frequencies (reference: InitializeBaseAA/AddFreqSeqGene,
+    # src/treesub.c:1548/:1712): counts pooled over species, with ambiguity
+    # characters distributed over their state sets in proportion to the
+    # current frequencies and iterated to a fixed point (<=20 rounds).
+    # Stage 1 seeds per-gene estimates with the mean of per-species EM
+    # frequencies; stage 3 seeds the overall estimate with the gene mean.
     resolved = tip.sum(-1) == 1
     w = tip * (resolved[..., None] * fpatt[None, :, None])      # [ns,H,n]
 
-    def freqs_of(block: np.ndarray) -> np.ndarray:
-        per_sp = block.sum(1)                                   # [ns, n]
-        tot = per_sp.sum(-1, keepdims=True)
-        per_sp = np.where(tot > 0, per_sp / np.maximum(tot, 1e-300),
-                          1.0 / nstates)
-        return per_sp.mean(0)
+    def _em(block_tip, block_fpatt, pi0, pooled_axis):
+        """EM frequency counts for one (species x patterns) block; ambiguous
+        characters resolved against pi (reference: AddFreqSeqGene)."""
+        res = block_tip.sum(-1) == 1
+        base = (block_tip * (res * block_fpatt[None, :])[..., None]
+                ).sum(pooled_axis)                              # [n]
+        ambm = (~res) & (block_tip.sum(-1) > 1)
+        amb = block_tip[ambm]                                   # [M, n]
+        wamb = np.broadcast_to(block_fpatt[None, :],
+                               block_tip.shape[:2])[ambm]       # [M]
+        pi = np.asarray(pi0, dtype=np.float64)
+        for _ in range(20):
+            if amb.shape[0]:
+                c = pi[None, :] * amb
+                c = c / np.maximum(c.sum(-1, keepdims=True), 1e-300)
+                cnt = base + (c * wamb[:, None]).sum(0)
+            else:
+                cnt = base
+            tot = cnt.sum()
+            newpi = cnt / tot if tot > 1e-10 else np.full(nstates,
+                                                          1.0 / nstates)
+            if np.sqrt(((newpi - pi) ** 2).sum()) < 1e-8:
+                pi = newpi
+                break
+            pi = newpi
+        return pi
 
-    base_freqs = freqs_of(w)
     posG_arr = np.array(posG)
-    gene_freqs = np.stack([freqs_of(w[:, posG_arr[g]:posG_arr[g + 1]])
-                           for g in range(ngene)])
+    all_resolved = bool(resolved.all())
+    gene_freqs = []
+    for g in range(ngene):
+        sl = slice(posG_arr[g], posG_arr[g + 1])
+        blk, fp = tip[:, sl], fpatt[sl]
+        # per-species average (the reference's piG seed)
+        per_sp = []
+        for js in range(len(aln.names)):
+            per_sp.append(_em(blk[js:js + 1], fp,
+                              np.full(nstates, 1.0 / nstates), (0, 1)))
+        seed = np.mean(per_sp, axis=0)
+        gene_freqs.append(seed if all_resolved else _em(blk, fp, seed,
+                                                        (0, 1)))
+    gene_freqs = np.stack(gene_freqs)
+    if all_resolved:
+        lg = (lgene if lgene is not None
+              else np.array([fpatt[posG_arr[g]:posG_arr[g + 1]].sum()
+                             for g in range(ngene)]))
+        base_freqs = (gene_freqs * (np.asarray(lg, dtype=float)
+                                    / float(sum(lg)))[:, None]).sum(0)
+    else:
+        base_freqs = _em(tip, fpatt, gene_freqs.mean(0), (0, 1))
 
     return PackedData(
         names=aln.names, seqtype=seqtype, nstates=nstates,

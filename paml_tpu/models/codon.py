@@ -244,3 +244,21 @@ def build_Q(graph: CodonGraph, s, omega, pi, dtype=jnp.float64):
 def mean_rate(graph: CodonGraph, s, omega, pi):
     rs, ra = flux(graph, s, pi)
     return rs + omega * ra
+
+
+def build_Q_pair(graph: CodonGraph, s, w_pair, pi, dtype=jnp.float64):
+    """Unnormalized Q with a per-single-step-pair omega factor
+    (reference: GetOmega applied inside eigenQcodon, src/codeml.c:3298-3301
+    for aaDist/AAClasses/FIT models).  w_pair [m] should be 1 on
+    synonymous pairs."""
+    n = graph.n
+    vals = s * w_pair
+    Q = jnp.zeros((n, n), dtype)
+    Q = Q.at[graph.pi_idx, graph.pj_idx].set(vals * pi[graph.pj_idx])
+    Q = Q.at[graph.pj_idx, graph.pi_idx].set(vals * pi[graph.pi_idx])
+    Q = Q - jnp.diag(jnp.sum(Q, axis=1))
+    return Q
+
+
+def mean_rate_pair(graph: CodonGraph, s, w_pair, pi):
+    return jnp.sum(s * w_pair * pi[graph.pi_idx] * pi[graph.pj_idx] * 2.0)
