@@ -192,3 +192,271 @@ def distance_matrix(data: seqio.PackedData, model="K80", alpha=0.0):
             d, _ = nuc_distance(data, i, j, model, alpha)
             D[i, j] = D[j, i] = d
     return D
+
+
+# --- Bayesian pairwise estimation (runmode = -3) ---------------------------
+
+@dataclass
+class BayesPair:
+    """Posterior summaries of (t, omega) for one sequence pair."""
+    i: int
+    j: int
+    E_t: float
+    E_w: float
+    SE_t: float
+    SE_w: float
+    cov_tw: float
+    corr_tw: float
+    p_w_gt1: float
+    t_center: float      # quadrature center (MLE or MAP)
+    w_center: float
+    kappa: float
+    lnL: float
+
+
+def _logistic_values(z, m, s):
+    return jnp.exp(m + s * jnp.log((1.0 + z) / (1.0 - z)))
+
+
+def bayes_pairwise_codon(data: seqio.PackedData, codonf: str = "F3x4",
+                         icode: int = 0, kappa0: float = 2.0,
+                         omega0: float = 0.4,
+                         hyperpar=(1.1, 1.1, 1.1, 2.2),
+                         npoints: int = 32) -> list[BayesPair]:
+    """Bayesian pairwise dN/dS (reference: BayesPairwise,
+    src/codeml.c:4612; Angelis, dos Reis & Yang 2014).
+
+    Posterior of (t, w) under independent gamma priors
+    t ~ G(hyperpar[0], hyperpar[1]), w ~ G(hyperpar[2], hyperpar[3]) with
+    kappa fixed at its MLE.  The 2-D integral uses Gauss-Legendre
+    quadrature after the reference's logistic change of variables centered
+    on the MLE (or the MAP when the MLE is extreme), with scale set from
+    the curvature.  Unlike the reference (finite-difference Hessians and
+    NG86 delta-method variances, EstVariances src/codeml.c:4843), the
+    curvature here is the exact autodiff Hessian; this only moves the
+    quadrature grid, not the target posterior.  P[w>1 | x] follows the
+    reference's substitution u = ((1-a)z + 1 + a)/2 that re-maps the grid
+    onto {w > 1} (src/codeml.c:4703-4752)."""
+    graph = codonmod.codon_graph(icode)
+    a_t, b_t, a_w, b_w = (float(v) for v in hyperpar)
+    glnodes, glweights = np.polynomial.legendre.leggauss(npoints)
+    zq = jnp.asarray(glnodes)
+    wq = jnp.asarray(glweights)
+
+    import math
+    lg_t = a_t * math.log(b_t) - math.lgamma(a_t)
+    lg_w = a_w * math.log(b_w) - math.lgamma(a_w)
+
+    def logprior(t, w):
+        lt = -b_t * t + (a_t - 1) * jnp.log(t) + lg_t
+        lw = -b_w * w + (a_w - 1) * jnp.log(w) + lg_w
+        return lt + lw
+
+    out = []
+    for i in range(data.ns):
+        for j in range(i):
+            pm = (data.pos_masks[[i, j]]
+                  if data.pos_masks is not None else None)
+            fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
+                data.tip_partials[[i, j]], data.fpatt, graph, pm)
+            pi_np = codonmod.codon_pi(codonf, fcodon, f3x4, f1x4, graph)
+            if codonf == "Fcodon":
+                pi_np = np.maximum(pi_np, 1e-15)
+                pi_np /= pi_np.sum()
+            pf3x4 = codonmod.mg_pf3x4(codonf, f3x4, f1x4)
+            pi = jnp.asarray(pi_np)
+            logpi = jnp.log(jnp.maximum(pi, 1e-300))
+            a, b, w = _pair_patterns(data, i, j)
+            aj, bj, wj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(w)
+            identical = bool((a == b).all())
+
+            def loglik_tw(t, kap, om):
+                s = codonmod.mutation_part(graph, kap, pf3x4)
+                Q = codonmod.build_Q(graph, s, om, pi)
+                mr = codonmod.mean_rate(graph, s, om, pi)
+                P = pmat_rev(Q / mr, pi, t[None])[0]
+                lp = logpi[aj] + jnp.log(jnp.maximum(P[aj, bj], 1e-300))
+                return jnp.sum(wj * lp)
+
+            # --- ML fit (t, kappa, omega) -------------------------------
+            def neg_lnl(x):
+                return -loglik_tw(x[0], x[1], x[2])
+
+            res = maximize(neg_lnl, np.array([0.5, kappa0, omega0]),
+                           [(4e-6, 50), (1e-4, 999), (1e-4, 99)])
+            t_ml, kap, w_ml = (float(v) for v in res.x)
+            if identical:
+                kap = 2.0           # reference: k fixed at 2 (codeml.c:4638)
+            kapj = jnp.asarray(kap)
+
+            def neg_logpost(x):
+                return -(loglik_tw(x[0], kapj, x[1])
+                         + logprior(x[0], x[1]))
+
+            moderate = (0.001 < t_ml < 10 and 0.005 < w_ml < 5
+                        and not identical)
+            if moderate:
+                tc, wc = t_ml, w_ml
+                H = jax.hessian(lambda x: -loglik_tw(x[0], kapj, x[1]))(
+                    jnp.asarray([tc, wc]))
+            else:
+                x0 = np.array([min(t_ml, 1.0),
+                               a_w / b_w if identical else min(w_ml, 0.5)])
+                rmap = maximize(neg_logpost, x0,
+                                [(1e-5, 100), (1e-5, 200)])
+                tc, wc = (float(v) for v in rmap.x)
+                H = jax.hessian(neg_logpost)(jnp.asarray([tc, wc]))
+            H = np.asarray(H, dtype=np.float64)
+            cov = np.linalg.inv(H) if np.linalg.det(H) > 0 else \
+                np.diag(1.0 / np.maximum(np.diag(H), 1e-8))
+            var_t = max(float(cov[0, 0]), 1e-10)
+            var_w = max(float(cov[1, 1]), 1e-10)
+
+            m1, s1 = np.log(tc), np.sqrt(var_t) / tc
+            m2, s2 = np.log(wc), np.sqrt(var_w) / wc
+
+            # --- vectorized 2-D quadrature ------------------------------
+            t_vals = _logistic_values(zq, m1, s1)            # [nt]
+            w_vals = _logistic_values(zq, m2, s2)            # [nw]
+
+            FL = 1.0 / (1.0 + np.exp(m2 / s2))   # P(log w < 0) logistic
+            setp = FL > 1 - 1e-5 or FL < 1e-5
+            alpha = 2 * FL - 1
+            u = ((1 - alpha) * zq + 1 + alpha) / 2.0
+            wp_vals = _logistic_values(u, m2, s2)            # [nw]
+
+            def grid_logpost(w_axis):
+                def one_w(om):
+                    s = codonmod.mutation_part(graph, kapj, pf3x4)
+                    Q = codonmod.build_Q(graph, s, om, pi)
+                    mr = codonmod.mean_rate(graph, s, om, pi)
+                    P = pmat_rev(Q / mr, pi, t_vals)          # [nt, n, n]
+                    lp = (logpi[aj][None, :]
+                          + jnp.log(jnp.maximum(P[:, aj, bj], 1e-300)))
+                    ll = lp @ wj                              # [nt]
+                    return ll + logprior(t_vals, om)
+                return jax.vmap(one_w)(w_axis)                # [nw, nt]
+
+            lpost = np.asarray(grid_logpost(w_vals))
+            lref = lpost.max()
+            jac = (np.asarray(2 * t_vals * s1)[None, :]
+                   * np.asarray(2 * w_vals * s2)[:, None]
+                   / ((1 - glnodes ** 2)[None, :]
+                      * (1 - glnodes ** 2)[:, None]))
+            r = np.exp(lpost - lref) * jac
+            wwq = np.outer(glweights, glweights)
+            norm = float((wwq * r).sum())
+            tg = np.asarray(t_vals)[None, :]
+            wg = np.asarray(w_vals)[:, None]
+            E_w = float((wwq * r * wg).sum()) / norm
+            E_t = float((wwq * r * tg).sum()) / norm
+            E_w2 = float((wwq * r * wg ** 2).sum()) / norm
+            E_t2 = float((wwq * r * tg ** 2).sum()) / norm
+            E_tw = float((wwq * r * wg * tg).sum()) / norm
+            var_tp = max(E_t2 - E_t ** 2, 0.0)
+            var_wp = max(E_w2 - E_w ** 2, 0.0)
+            cov_tw = E_tw - E_t * E_w
+            corr = (cov_tw / np.sqrt(var_tp * var_wp)
+                    if var_tp > 0 and var_wp > 0 else 0.0)
+
+            if setp:
+                p_gt1 = 0.0 if FL > 0.5 else 1.0
+            else:
+                lpost_p = np.asarray(grid_logpost(wp_vals))
+                jac_p = (np.asarray(2 * t_vals * s1)[None, :]
+                         * np.asarray(2 * wp_vals * s2)[:, None]
+                         * (1 - alpha)
+                         / ((1 - glnodes ** 2)[None, :]
+                            * (1 - u ** 2)[:, None] * 2.0))
+                q = np.exp(lpost_p - lref) * jac_p
+                p_gt1 = float((wwq * q).sum()) / norm
+                p_gt1 = min(max(p_gt1, 0.0), 1.0)
+
+            out.append(BayesPair(
+                i=i, j=j, E_t=E_t, E_w=E_w,
+                SE_t=float(np.sqrt(var_tp)), SE_w=float(np.sqrt(var_wp)),
+                cov_tw=float(cov_tw), corr_tw=float(corr),
+                p_w_gt1=p_gt1, t_center=tc, w_center=wc,
+                kappa=kap, lnL=res.lnL))
+    return out
+
+
+# --- sliding-window positive selection scan (runmode -2, 2 seqs) -----------
+
+@dataclass
+class WindowResult:
+    start: int          # 0-based first site (codon) of the window
+    length: int
+    lnL0: float         # omega fixed at 1
+    lnL1: float         # omega free
+    omega: float
+    t: float
+    significant: bool   # w > 1 and 2*dlnL > 2.71 (5%, chi2_1 mixture)
+
+
+def sliding_window_codon(data: seqio.PackedData, wlen: int, offset: int,
+                         codonf: str = "F3x4", icode: int = 0,
+                         kappa0: float = 2.0) -> tuple[list[WindowResult],
+                                                       bool]:
+    """Sliding-window test for positive selection on a sequence pair
+    (reference: SlidingWindow, src/codeml.c:5970).  For each window the
+    pair is refit with omega free vs omega = 1; a window is flagged when
+    omega > 1 and 2*(lnL1 - lnL0) > 2.71.  Unlike the reference (which
+    stops at the first significant window), all windows are scanned.
+
+    Requires exactly 2 sequences, clean data, one gene."""
+    if data.ns != 2:
+        raise ValueError("sliding window needs exactly 2 sequences")
+    if data.ngene > 1:
+        raise ValueError("one gene only for sliding window analysis")
+    if data.site_pattern is None:
+        raise ValueError("site->pattern map missing")
+    graph = codonmod.codon_graph(icode)
+    sp = data.site_pattern
+    ls = data.ls
+
+    results: list[WindowResult] = []
+    positive = False
+    for wstart in range(0, ls - wlen + 1, offset):
+        fpatt_w = np.bincount(sp[wstart:wstart + wlen],
+                              minlength=len(data.fpatt)).astype(np.float64)
+        keep = fpatt_w > 0
+        sub = seqio.PackedData(
+            names=data.names, seqtype=data.seqtype, nstates=data.nstates,
+            tip_partials=data.tip_partials[:, keep],
+            fpatt=fpatt_w[keep], ls=wlen,
+            pos_masks=(data.pos_masks[:, keep]
+                       if data.pos_masks is not None else None),
+            icode=data.icode)
+        # window-local frequencies, as the reference recomputes com.pi
+        fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
+            sub.tip_partials, sub.fpatt, graph, sub.pos_masks)
+        pi_np = codonmod.codon_pi(codonf, fcodon, f3x4, f1x4, graph)
+        pf3x4 = codonmod.mg_pf3x4(codonf, f3x4, f1x4)
+        pi = jnp.asarray(pi_np)
+        logpi = jnp.log(jnp.maximum(pi, 1e-300))
+        a, b, w = _pair_patterns(sub, 1, 0)
+        aj, bj, wj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(w)
+
+        def neg_lnl(x, fixed_w=None):
+            t, kap = x[0], x[1]
+            om = jnp.asarray(1.0) if fixed_w else x[2]
+            s = codonmod.mutation_part(graph, kap, pf3x4)
+            Q = codonmod.build_Q(graph, s, om, pi)
+            mr = codonmod.mean_rate(graph, s, om, pi)
+            P = pmat_rev(Q / mr, pi, t[None])[0]
+            lp = logpi[aj] + jnp.log(jnp.maximum(P[aj, bj], 1e-300))
+            return -jnp.sum(wj * lp)
+
+        r0 = maximize(lambda x: neg_lnl(x, fixed_w=True),
+                      np.array([0.3, kappa0]),
+                      [(4e-6, 50), (1e-4, 999)])
+        r1 = maximize(neg_lnl, np.array([0.3, kappa0, 0.5]),
+                      [(4e-6, 50), (1e-4, 999), (1e-4, 99)])
+        om1 = float(r1.x[2])
+        sig = om1 > 1 and 2 * (r1.lnL - r0.lnL) > 2.71
+        positive = positive or sig
+        results.append(WindowResult(
+            start=wstart, length=wlen, lnL0=r0.lnL, lnL1=r1.lnL,
+            omega=om1, t=float(r1.x[0]), significant=sig))
+    return results, positive
