@@ -1,11 +1,22 @@
 """Benchmark: site-pattern likelihood evals/sec/chip (61-state codon).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Workload: jitted value+gradient of an NSsites-style codon log-likelihood
-(the optimizer inner loop) on a synthetic alignment — 32 taxa, 4096 site
-patterns, 61 states, 4 site classes, float32 on the TPU chip.
+Primary workload (unchanged across rounds so values are comparable):
+jitted value+gradient of an NSsites-style codon log-likelihood (the
+optimizer inner loop) on a synthetic alignment — 32 taxa (ladder tree,
+worst-case serial depth), 4096 site patterns, 61 states, 3 site classes,
+float32 partials on the TPU chip with full-f32 (6-pass) matmul precision.
+
+`extra` adds:
+  - big_pattern_evals_per_sec: the BASELINE.json north-star shape — a
+    1024-taxon / 10240-pattern branch-site-A (4-class) lnL+grad eval,
+    pattern-chunked with rematerialization so it fits in HBM.
+  - mfu: primary-workload model-FLOP utilization against the chip's bf16
+    peak (fwd contraction FLOPs x ~4 for fwd+recompute+dP+dA adjoint).
+  - tpu_vs_cpu_f32_lnl_absdiff: TPU f32 lnL vs an exact-f32 CPU evaluation
+    of the same point (numerics sanity on the real chip).
 
 Baseline: the reference codeml evaluates `lfun` (value only; its gradients
 cost extra finite-difference evals).  Measured on this machine
@@ -25,6 +36,68 @@ NS_TAXA = 32
 NPATT = 4096
 K_CLASSES = 3                    # NSsites=3 (M3) with default ncatG=3
 
+BIG_TAXA = 1024
+BIG_NPATT = 10240
+BIG_CHUNKS = 10
+
+PEAK_BF16 = 197e12               # TPU v5e (v5 lite) chip peak
+
+
+def _time_steps(step, x, n_iter=30, warmup=12):
+    import jax
+    for i in range(warmup):
+        out = step(x + 1e-6 * i)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        out = step(x + 1e-6 * i)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iter, out
+
+
+def _big_branchsite_problem():
+    """1024-taxon balanced tree, branch-site A, 10240 patterns, chunked."""
+    import jax.numpy as jnp
+
+    from paml_tpu.apps.codeml import CodemlSpec, make_codon_objective
+    from paml_tpu.core.topology import from_treenode
+    from paml_tpu.io import seqio, treeio
+    from paml_tpu.models.codon import codon_graph
+
+    rng = np.random.default_rng(7)
+    graph = codon_graph(0)
+    names = [f"t{i}" for i in range(BIG_TAXA)]
+
+    def bal(lo, hi):
+        if hi - lo == 1:
+            return names[lo]
+        mid = (lo + hi) // 2
+        return f"({bal(lo, mid)},{bal(mid, hi)})"
+    # foreground = first half of the tree (branch-site A needs 2 branch types)
+    nwk = f"({bal(0, BIG_TAXA // 2)} #1,{bal(BIG_TAXA // 2, BIG_TAXA)});"
+    tree = treeio.parse_newick(nwk)
+    for node in tree.walk_post():
+        node.blen = float(rng.uniform(0.02, 0.3))
+    topo = from_treenode(tree, names)
+
+    states = rng.integers(0, graph.n, size=(BIG_TAXA, BIG_NPATT))
+    tips = np.zeros((BIG_TAXA, BIG_NPATT, graph.n), np.float32)
+    tips[np.arange(BIG_TAXA)[:, None], np.arange(BIG_NPATT)[None, :],
+         states] = 1.0
+    fpatt = rng.integers(1, 6, size=BIG_NPATT).astype(np.float32)
+    data = seqio.PackedData(
+        names=names, seqtype=1, nstates=graph.n, tip_partials=tips,
+        fpatt=fpatt, ls=int(fpatt.sum()),
+        posG=np.array([0, BIG_NPATT]),
+        base_freqs=np.full(graph.n, 1 / graph.n))
+    spec = CodemlSpec(NSsites=2, model=2, codonf="Fequal", cleandata=True,
+                      omega=1.5)
+    neg_lnl, *_rest = make_codon_objective(data, topo, spec,
+                                           dtype=jnp.float32,
+                                           n_chunks=BIG_CHUNKS)
+    x0 = _rest[2]
+    return neg_lnl, np.asarray(x0, np.float32)
+
 
 def main():
     import jax
@@ -37,30 +110,50 @@ def main():
     x = jnp.asarray(x0)
 
     step = jax.jit(jax.value_and_grad(neg_lnl))
-    # compile + warm up
     v, g = step(x)
     v.block_until_ready()
     assert bool(jnp.isfinite(v)), "non-finite benchmark loss"
 
-    # timed region
-    n_iter = 30
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        v, g = step(x + 1e-6 * i)
-    v.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    evals_per_sec = n_iter / dt
+    dt, (v, g) = _time_steps(step, x)
+    evals_per_sec = 1.0 / dt
     pattern_evals_per_sec = evals_per_sec * NPATT
     nbranch = 2 * NS_TAXA - 2      # ladder tree from the synthetic problem
     updates_per_sec = evals_per_sec * NPATT * nbranch * K_CLASSES
     vs_baseline = updates_per_sec / REF_UPDATES_PER_SEC
+
+    # model-FLOP utilization: contraction flops only (2*n^2 per
+    # (branch, class, pattern)), x4 for the analytic-adjoint val+grad
+    n_states = 61
+    nnode = 2 * NS_TAXA - 1
+    fwd_flops = (nnode - 1) * K_CLASSES * NPATT * 2 * n_states * n_states
+    mfu = 4 * fwd_flops / dt / PEAK_BF16
+
+    # TPU numerics vs exact-f32 CPU evaluation at the same point
+    with jax.default_device(jax.devices("cpu")[0]):
+        v_cpu = float(jax.jit(neg_lnl)(jnp.asarray(x0)))
+    f32_err = abs(float(v) - v_cpu)
+
+    # north-star shape: 1k taxa x 10k patterns, branch-site A, chunked
+    big_fn, big_x0 = _big_branchsite_problem()
+    big_step = jax.jit(jax.value_and_grad(big_fn))
+    bx = jnp.asarray(big_x0)
+    bdt, (bv, _) = _time_steps(big_step, bx, n_iter=5, warmup=3)
+    assert bool(jnp.isfinite(bv)), "non-finite big-shape loss"
+    big_pattern_evals = BIG_NPATT / bdt
 
     print(json.dumps({
         "metric": "codon61_sitepattern_lnl+grad_evals_per_sec_per_chip",
         "value": round(pattern_evals_per_sec, 1),
         "unit": "site-pattern-evals/s",
         "vs_baseline": round(vs_baseline, 2),
+        "extra": {
+            "primary_ms_per_eval": round(dt * 1e3, 3),
+            "mfu_vs_bf16_peak": round(mfu, 4),
+            "tpu_vs_cpu_f32_lnl_absdiff": round(f32_err, 6),
+            "big_shape": f"{BIG_TAXA}taxa x {BIG_NPATT}patt branch-site A",
+            "big_pattern_evals_per_sec": round(big_pattern_evals, 1),
+            "big_ms_per_eval": round(bdt * 1e3, 1),
+        },
     }))
 
 

@@ -120,7 +120,11 @@ def run_codeml(ctl_path: str) -> None:
     from .apps import codeml
     from .io import ctl as ctlmod
     from .io import seqio, treeio
+    from .io.outputs import (write_lnf, write_rst1, write_rst_ancestral,
+                             write_rst_neb)
     from .core.topology import from_treenode
+
+    import numpy as np
 
     opts = ctlmod.read_ctl(ctl_path)
     spec, seqfile, treefile, outfile, extras = ctlmod.codeml_spec(opts, ctl_path)
@@ -130,11 +134,17 @@ def run_codeml(ctl_path: str) -> None:
     data = seqio.pack(aln, cleandata=spec.cleandata, icode=spec.icode)
     trees = treeio.read_trees(treefile, data.names)
     ns_list = extras["NSsites_list"] or [spec.NSsites]
+    rate_ancestor = extras.get("RateAncestor", 0)
     import dataclasses
+    site_lnf_trees = []          # per tree [npatt] (first NSsites model)
+    frst = open("rst", "w")
+    frst.write(f"Supplemental results for CODEML (paml_tpu): "
+               f"{seqfile}\n")
+    open("rst1", "w").close()                # truncate
     with open(outfile, "w") as out:
         out.write(f"CODEML (paml_tpu) {seqfile}\n")
         out.write(f"ns = {data.ns}  ls = {data.ls}  npatt = {data.npatt}\n")
-        for ns_model in ns_list:
+        for ins, ns_model in enumerate(ns_list):
             sp = dataclasses.replace(spec, NSsites=ns_model)
             for itree, tree in enumerate(trees):
                 topo = from_treenode(tree, data.names)
@@ -151,28 +161,91 @@ def run_codeml(ctl_path: str) -> None:
                     out.write("kappa = "
                               + " ".join(f"{k:.5f}" for k in res.kappa) + "\n")
                 if res.class_omegas is not None and sp.seqtype == 1:
-                    import numpy as np
                     out.write("omega classes: "
                               + np.array2string(res.class_omegas,
                                                 precision=5) + "\n")
                     out.write("class freqs:   "
                               + np.array2string(res.class_freqs,
                                                 precision=5) + "\n")
+                write_rst1("rst1", [res.lnL] + [float(v) for v in res.x],
+                           append=True)
+                # side outputs on the first NSsites model (reference
+                # layout: one lnf per run; rst accumulates per model)
+                if sp.seqtype == 1 and not sp.aaDist:
+                    neg, unpack, classes_for, *_r = \
+                        codeml.make_codon_objective(data, topo, sp)
+                    import jax.numpy as jnp
+                    xj = jnp.asarray(res.x)
+                    if ins == 0:
+                        site_lnf_trees.append(
+                            np.asarray(neg.site_loglik(xj)))
+                    if sp.getSE:
+                        ses = codeml.standard_errors(neg, res.x)
+                        out.write("SEs for parameters:\n"
+                                  + " ".join(f"{v:.5f}" for v in ses)
+                                  + "\n")
+                    if rate_ancestor and ns_model and sp.model == 0 \
+                            and itree == 0:
+                        post = np.asarray(neg.class_posterior(xj))
+                        frst.write(f"\nModel NSsites={ns_model}\n")
+                        write_rst_neb(frst, data.site_pattern, post,
+                                      res.class_omegas.reshape(-1),
+                                      data.fpatt)
+                    if rate_ancestor and itree == 0:
+                        _write_ancestral_rst(frst, data, topo, sp, neg,
+                                             xj, res)
                 if (sp.seqtype == 1 and sp.model == 0
                         and ns_model in (2, 8) and itree == 0):
                     spbeb = bebmod.beb(data, topo, sp, res)
                     sites = bebmod.positive_sites(data, spbeb, 0.5)
                     out.write("BEB positively selected sites "
                               "(P>0.5; * P>0.95, ** P>0.99):\n")
+                    frst.write(f"\nBayes Empirical Bayes (BEB) "
+                               f"probabilities, NSsites={ns_model}\n")
                     for s, p, w in sites:
                         h = data.site_pattern[s - 1]
                         star = ("**" if p > 0.99 else
                                 "*" if p > 0.95 else "")
-                        out.write(f"  {s:5d}  {p:.3f}{star:2s}  "
-                                  f"{w:.3f} +- {spbeb.se_w[h]:.3f}\n")
+                        line = (f"  {s:5d}  {p:.3f}{star:2s}  "
+                                f"{w:.3f} +- {spbeb.se_w[h]:.3f}\n")
+                        out.write(line)
+                        frst.write(line)
                 print(f"NSsites={ns_model} tree {itree + 1}: "
                       f"lnL = {res.lnL:.6f}")
+        # lnf + RELL/KH/SH tree comparison over trees (reference:
+        # src/codeml.c:623-689 + rell, src/treesub.c:5844)
+        if site_lnf_trees:
+            write_lnf("lnf", data.ls, data.fpatt, site_lnf_trees)
+        if len(site_lnf_trees) > 1:
+            from .apps.bootstrap import tree_comparison
+            stats = tree_comparison(np.stack(site_lnf_trees), data.fpatt)
+            out.write("\nTree comparison (RELL / KH / SH)\n")
+            out.write("tree    lnL-diff     pRELL      pKH      pSH\n")
+            for i in range(len(site_lnf_trees)):
+                out.write(f"{i + 1:4d} {stats['D'][i]:11.4f} "
+                          f"{stats['pRELL'][i]:9.4f} {stats['pKH'][i]:8.4f}"
+                          f" {stats['pSH'][i]:8.4f}\n")
+    frst.close()
     print(f"results written to {outfile}")
+
+
+def _write_ancestral_rst(frst, data, topo, sp, neg, xj, res) -> None:
+    """Marginal ancestral reconstruction into rst (reference:
+    AncestralMarginal, src/treesub.c:6288)."""
+    from .apps.ancestral import marginal_reconstruction
+    from .constants import codon_string
+    from .io.outputs import write_rst_ancestral
+    from .models.codon import codon_graph
+
+    P, piC, freqs = neg.model_at(xj)
+    best, prob, _post = marginal_reconstruction(
+        P, data.tip_partials, topo, piC, freqs, data.fpatt)
+    graph = codon_graph(sp.icode)
+    codons = [codon_string(int(c)) for c in graph.sense]
+    node_ids = [i + 1 for i in range(topo.ns, topo.nnode)]
+    best_txt = [[codons[s] for s in row] for row in best]
+    write_rst_ancestral(frst, data.names, node_ids, best_txt, prob,
+                        data.site_pattern)
 
 
 def run_yn00(ctl_path: str) -> None:

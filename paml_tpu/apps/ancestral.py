@@ -33,7 +33,7 @@ def inside_outside(P, tips, topo: Topology, pi):
     C, n = P.shape[1], P.shape[3]
     H = tips.shape[1]
     dtype = P.dtype
-    tips = tips.astype(dtype)
+    tips = jnp.asarray(tips).astype(dtype)
     buf, ms = pruning._forward_buffers(P, tips, topo)
     rootp = buf[topo.root - ns]
     F = jnp.maximum(jnp.einsum("chn,cn->ch", rootp, pi),

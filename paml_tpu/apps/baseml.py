@@ -361,12 +361,14 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
             alpha = jnp.full((1,), spec.alpha, x.dtype)
         return t, rgene, rates, alpha
 
-    def neg_lnl(x):
+    def neg_lnl(x, _tips=None, _fpatt=None):
         x = x.astype(dtype)
         t, rgene, rates, alpha = unpack(x)
         tfull, k_used = branch_lengths(x)
         if adg or nparK:
             return _neg_lnl_ratehmm(x, tfull, rates, alpha)
+        tips_in = tips_g if _tips is None else {0: _tips}
+        fpatt_in = fpatt_g if _fpatt is None else {0: _fpatt}
         if clock == 3 and n_rate_cls:
             # combined analysis (Yang & Yoder 2003): per-gene rates for
             # the labeled branch classes (reference: GetBranchRate
@@ -398,7 +400,8 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
             ts = tg[:, None] * (r[None, :] * rgene[g])
             P, pi_root = nuc.pmats_for_model(model, rates_g, pig, ts, step)
             piC = jnp.broadcast_to(pi_root, (r.shape[0], 4))
-            total = total + pruning.lnL(P, tips_g[g], topo, piC, w, fpatt_g[g])
+            total = total + pruning.lnL(P, tips_in[g], topo, piC, w,
+                                        fpatt_in[g])
         return -total
 
     def _neg_lnl_ratehmm(x, tfull, rates, alpha):
@@ -481,6 +484,41 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     if est_rho:
         x0.append(spec.rho if spec.rho > 0 else 0.3)
         bounds.append((-0.2, 0.99))
+    if G == 1 and not (adg or nparK):
+        # sharded-data entry point (pattern axis on a device mesh)
+        neg_lnl.with_data = lambda x, t, f: neg_lnl(x, _tips=t, _fpatt=f)
+
+        def _model0(x):
+            """(P, piC, class weights, class rates) at x (single gene)."""
+            x = jnp.asarray(x).astype(dtype)
+            t, rgene, rates, alpha = unpack(x)
+            tfull, _ = branch_lengths(x)
+            if spec.continuous_gamma:
+                from ..core.dgamma import gammaincinv
+                r = gammaincinv(alpha[0], cg_u) / alpha[0]
+                w = cg_w
+            elif K > 1:
+                r, w = discrete_gamma(alpha[0], K, use_median=use_median)
+            else:
+                r = jnp.ones((1,), dtype)
+                w = jnp.ones((1,), dtype)
+            pig = jnp.asarray(pi_g[0], dtype)
+            ts = tfull[:, None] * r[None, :]
+            P, pi_root = nuc.pmats_for_model(model, rates, pig, ts, step)
+            piC = jnp.broadcast_to(pi_root, (r.shape[0], 4))
+            return P, piC, w, r
+        neg_lnl.model_at = _model0
+
+        def _site_loglik(x):
+            P, piC, w, _ = _model0(x)
+            return pruning.site_loglik(P, tips_g[0], topo, piC, w)
+        neg_lnl.site_loglik = _site_loglik
+
+        def _class_posterior(x):
+            P, piC, w, r = _model0(x)
+            return pruning.site_class_posterior(P, tips_g[0], topo, piC,
+                                                w), r, w
+        neg_lnl.class_posterior = _class_posterior
     return neg_lnl, unpack, np.array(x0), bounds
 
 

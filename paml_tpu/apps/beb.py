@@ -84,7 +84,7 @@ def neb(data: seqio.PackedData, topo: Topology, spec, res,
     neg_lnl, unpack, classes_for, *_ = make_codon_objective(
         data, topo, spec, dtype)
     x = jnp.asarray(res.x)
-    t, kappa, theta = unpack(x)
+    t, kappa, _ppi, theta = unpack(x)
     W, freqs, _ = classes_for(theta)
     omegas = np.asarray(W).reshape(-1)
     wbar = float((np.asarray(W) * np.asarray(freqs)[None, :]).sum(1)[0])

@@ -59,6 +59,7 @@ class CodemlSpec:
     alpha: float = 0.0
     cleandata: bool = False
     hkyREV: bool = False
+    estFreq: bool = False        # ML-estimate frequency/fitness params
     getSE: bool = False
     aa_model: str = "Empirical_F"   # for seqtype=2
     aa_rate_file: str | None = None
@@ -361,7 +362,8 @@ def nssites_extra_starts(NSsites: int, ncatG: int, fix_omega: bool):
 
 
 def make_codon_objective(data: seqio.PackedData, topo: Topology,
-                         spec: CodemlSpec, dtype=jnp.float64):
+                         spec: CodemlSpec, dtype=jnp.float64,
+                         n_chunks: int = 1):
     graph = codonmod.codon_graph(spec.icode)
     fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
         data.tip_partials, data.fpatt, graph, data.pos_masks)
@@ -379,6 +381,15 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
     NS = spec.NSsites
     ncatG = spec.ncatG
     nkappa = 0 if spec.fix_kappa else (5 if spec.hkyREV else 1)
+
+    # FMutSel/FMutSel0 frequency parameters (reference: com.npi,
+    # src/codeml.c:1576-1588): 3 mutation-bias pi_TCA ratios, plus with
+    # estFreq the fitness parameters (60 codon / 19 aa, last fixed at 0)
+    is_fmutsel = spec.codonf in ("FMutSel", "FMutSel0")
+    nfit = 0
+    if is_fmutsel and spec.estFreq:
+        nfit = 19 if spec.codonf == "FMutSel0" else graph.n - 1
+    npi = (3 + nfit) if is_fmutsel else 0
 
     # branch type per node (root entry unused)
     if spec.model == 1:
@@ -415,8 +426,10 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
         kappa = x[k:k + nkappa] if nkappa else jnp.asarray(
             [spec.kappa] * (5 if spec.hkyREV else 1), dtype)
         k += nkappa
+        ppi = x[k:k + npi]
+        k += npi
         theta = x[k:k + n_theta + n_w]
-        return t, kappa, theta
+        return t, kappa, ppi, theta
 
     def classes_for(theta):
         """Build W [B, K], freqs [K], and per-branch-type scale mode."""
@@ -477,18 +490,33 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
             return W, p, "mixture"
         raise ValueError(f"model {spec.model} with NSsites {NS}")
 
-    def neg_lnl_data(x, tips_a, fpatt_a):
-        """Objective with the data as explicit arguments (for sharded /
-        multi-device execution where tips/fpatt carry shardings)."""
+    def model_at(x):
+        """P [nnode, K, n, n], root freqs per class [K, n], class weights
+        [K] at parameter vector x."""
         x = x.astype(dtype)
-        t, kappa, theta = unpack(x)
+        t, kappa, ppi, theta = unpack(x)
         W, freqs, scale_mode = classes_for(theta)
         Bc, K = W.shape
-        s = codonmod.mutation_part(graph, kappa if spec.hkyREV else kappa[0],
-                                   pf3x4, spec.hkyREV, dtype)
-        rs, ra = codonmod.flux(graph, s, pi)
+        if is_fmutsel:
+            pf = jnp.concatenate([ppi[:3], jnp.ones((1,), dtype)])
+            pf = pf / jnp.sum(pf)
+            fit = ppi[3:] if nfit else None
+            pi_d = codonmod.fmutsel_pi(spec.codonf, pf, fit, fcodon,
+                                       graph, dtype)
+            pf3x4_d = jnp.tile(pf[None, :], (3, 1))
+            s = codonmod.mutation_part(
+                graph, kappa if spec.hkyREV else kappa[0], pf3x4_d,
+                spec.hkyREV, dtype)
+            s = s * codonmod.fmutsel_multiplier(graph, pf, pi_d, data.ls,
+                                                dtype)
+        else:
+            pi_d = pi
+            s = codonmod.mutation_part(
+                graph, kappa if spec.hkyREV else kappa[0], pf3x4,
+                spec.hkyREV, dtype)
+        rs, ra = codonmod.flux(graph, s, pi_d)
         w_flat = W.reshape(-1)                              # [B*K]
-        Qs = jax.vmap(lambda w: codonmod.build_Q(graph, s, w, pi))(w_flat)
+        Qs = jax.vmap(lambda w: codonmod.build_Q(graph, s, w, pi_d))(w_flat)
         if scale_mode == "per_Q":
             scale_flat = 1.0 / (rs + ra * w_flat)           # [B*K]
         else:
@@ -498,16 +526,40 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
         # ts[node, b*k] = t[node] * scale[b*k]
         ts = tfull[:, None] * scale_flat[None, :]           # [nnode, B*K]
         P_all = jax.vmap(pmat_rev, in_axes=(0, None, 1), out_axes=1)(
-            Qs, pi, ts)                                     # [nnode, B*K, n, n]
+            Qs, pi_d, ts)                                   # [nnode, B*K, n, n]
         P_all = P_all.reshape(nnode, Bc, K, graph.n, graph.n)
-        node_type = btype_j if Bc > 1 else jnp.zeros((nnode,), jnp.int64)
+        node_type = btype_j if Bc > 1 else jnp.zeros((nnode,), jnp.int32)
         P = P_all[jnp.arange(nnode), node_type]             # [nnode, K, n, n]
-        piC = jnp.broadcast_to(pi, (K, graph.n))
+        piC = jnp.broadcast_to(pi_d, (K, graph.n))
+        return P, piC, freqs
+
+    def neg_lnl_data(x, tips_a, fpatt_a):
+        """Objective with the data as explicit arguments (for sharded /
+        multi-device execution where tips/fpatt carry shardings)."""
+        P, piC, freqs = model_at(x)
+        if n_chunks > 1:
+            return -pruning.lnL_chunked(P, tips_a, topo, piC, freqs,
+                                        fpatt_a, n_chunks)
         return -pruning.lnL(P, tips_a, topo, piC, freqs, fpatt_a)
 
     def neg_lnl(x):
         return neg_lnl_data(x, tips, fpatt)
     neg_lnl.with_data = neg_lnl_data
+    neg_lnl.model_at = model_at
+
+    def site_loglik_fn(x):
+        """Per-pattern log site likelihood [H] at x (for the lnf file /
+        RELL; reference: print_lnf_site, src/treesub.c:7597)."""
+        P, piC, freqs = model_at(x)
+        return pruning.site_loglik(P, tips, topo, piC, freqs)
+    neg_lnl.site_loglik = site_loglik_fn
+
+    def class_posterior_fn(x):
+        """Posterior P(class | pattern) [K, H] at x (NEB; reference:
+        lfunNSsites_rate, src/codeml.c:5241)."""
+        P, piC, freqs = model_at(x)
+        return pruning.site_class_posterior(P, tips, topo, piC, freqs)
+    neg_lnl.class_posterior = class_posterior_fn
 
     # x0 / bounds
     t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
@@ -519,6 +571,20 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
     if nkappa:
         x0 += [spec.kappa] * nkappa
         bounds += [(KAPPA_MIN, KAPPA_MAX)] * nkappa
+    if is_fmutsel:
+        # pi_TCA ratios to pi_G (reference initials, src/codeml.c:2108-2110)
+        x0 += list(np.asarray(f1x4[:3]) / max(float(f1x4[3]), 1e-6))
+        bounds += [(OMEGA_MIN, OMEGA_MAX)] * 3     # rateb, SetxBound default
+        if nfit:
+            if spec.codonf == "FMutSel0":
+                piAA = codonmod.observed_piAA(fcodon, graph)
+                nsyn = np.bincount(graph.aa, minlength=20).astype(float)
+                x0 += list(np.log((piAA[:19] / nsyn[:19] + 1e-3)
+                                  / (piAA[19] / nsyn[19] + 1e-3)))
+            else:
+                x0 += list(np.log((np.asarray(fcodon[:-1]) + 1e-3)
+                                  / (float(fcodon[-1]) + 1e-3)))
+            bounds += [(-29.0, 29.0)] * nfit       # codeml.c:1925-1927
     if NS == 0:
         x0 += [spec.omega] * n_w
         bounds += [(OMEGA_MIN, OMEGA_MAX)] * n_w
@@ -719,14 +785,43 @@ def make_aa_objective(data: seqio.PackedData, topo: Topology,
                       spec: CodemlSpec, dtype=jnp.float64):
     """Amino-acid likelihood (reference: eigenQaa, src/codeml.c:3400;
     lfun/lfundG over 20 states).  Optional discrete-gamma rates via ncatG
-    (aaml's fix_alpha/alpha)."""
+    (aaml's fix_alpha/alpha).
+
+    Parametric exchangeabilities: FromCodon (codon-chain aggregation with
+    estimated kappa, fixed omega; eigenQaa FromCodon arm + Qcodon2aa,
+    src/codeml.c:3419,3487), REVaa (189 free rates) and REVaa_0 (1-step
+    pairs only), src/codeml.c:3424-3436."""
     from ..core.dgamma import discrete_gamma
     from ..models import aa as aamod
 
-    S, pi_np = aamod.model_S_pi(spec.aa_model, spec.aa_rate_file,
-                                data.base_freqs)
+    model = spec.aa_model
+    parametric = model in ("FromCodon", "REVaa", "REVaa_0")
+    if parametric:
+        pi_np = np.asarray(data.base_freqs, float)
+        pi_np = pi_np / pi_np.sum()
+        graph = codonmod.codon_graph(spec.icode)
+        if model == "FromCodon":
+            nrate = 0 if spec.fix_kappa else 1
+
+            def S_of(rates):
+                kap = rates[0] if nrate else jnp.asarray(spec.kappa, dtype)
+                return aamod.from_codon_S(kap, spec.omega, pi_np, graph,
+                                          dtype)
+            Sjones = None
+        else:
+            g = graph if model == "REVaa_0" else None
+            nrate = aamod.n_revaa_rates(model, graph)
+
+            def S_of(rates):
+                return aamod.revaa_S(rates, g, dtype)
+            Sjones, _ = aamod.load_empirical(spec.aa_rate_file or "jones")
+    else:
+        S_static, pi_np = aamod.model_S_pi(model, spec.aa_rate_file,
+                                           data.base_freqs)
+        nrate = 0
+        Q_static = jnp.asarray(np.asarray(
+            aamod.build_aa_Q(S_static, pi_np)), dtype)
     pi = jnp.asarray(pi_np, dtype)
-    Q = jnp.asarray(np.asarray(aamod.build_aa_Q(S, pi_np)), dtype)
     tips = jnp.asarray(data.tip_partials, dtype)
     fpatt = jnp.asarray(data.fpatt, dtype)
     branch_nodes = topo.branch_nodes()
@@ -739,12 +834,19 @@ def make_aa_objective(data: seqio.PackedData, topo: Topology,
 
     def unpack(x):
         t = x[:nb]
-        alpha = x[nb] if est_alpha else jnp.asarray(max(spec.alpha, 0.5), dtype)
-        return t, alpha
+        rates = x[nb:nb + nrate]
+        k = nb + nrate
+        alpha = x[k] if est_alpha else jnp.asarray(max(spec.alpha, 0.5),
+                                                   dtype)
+        return t, rates, alpha
 
     def neg_lnl(x):
         x = x.astype(dtype)
-        t, alpha = unpack(x)
+        t, rates, alpha = unpack(x)
+        if parametric:
+            Q = aamod.build_aa_Q(S_of(rates), pi)
+        else:
+            Q = Q_static
         if K > 1:
             r, w = discrete_gamma(alpha, K)
         else:
@@ -762,23 +864,108 @@ def make_aa_objective(data: seqio.PackedData, topo: Topology,
     t0 = np.maximum(t0, BLEN_MIN * 2)
     x0 = list(t0)
     bounds = [(BLEN_MIN, BLEN_MAX)] * nb
+    if parametric and model == "FromCodon" and nrate:
+        x0.append(spec.kappa)
+        bounds.append((KAPPA_MIN, KAPPA_MAX))
+    elif parametric and nrate:
+        # initials from the empirical matrix, scaled so the reference pair
+        # (19, 9) is 1 (reference GetInitials, src/codeml.c:2384-2392)
+        from ..models.aa import IJ_AA_REF, aa_1step, aa_pairs_lower
+        ii, jj = aa_pairs_lower()
+        ref = Sjones[IJ_AA_REF[0], IJ_AA_REF[1]]
+        vals = Sjones[ii, jj] / max(ref, 1e-8)
+        isref = (ii == IJ_AA_REF[0]) & (jj == IJ_AA_REF[1])
+        if model == "REVaa_0":
+            fill = (aa_1step(graph) > 0) & ~isref
+        else:
+            fill = ~isref
+        x0 += list(np.clip(vals[fill], 1e-4, 999.0))
+        bounds += [(OMEGA_MIN, OMEGA_MAX)] * nrate
     if est_alpha:
         x0.append(spec.alpha if spec.alpha > 0 else 0.5)
         bounds.append((0.005, 99.0))
     return neg_lnl, unpack, np.array(x0), bounds, pi_np
 
 
+def make_fromcodon0_objective(data: seqio.PackedData, topo: Topology,
+                              spec: CodemlSpec, dtype=jnp.float64):
+    """FromCodon0 (model 5): the AA data are treated as ambiguous codon
+    data — each amino acid's tip partial is the indicator over its
+    synonymous codons — and the likelihood runs on the 61-state codon
+    chain with kappa and omega free and pi = equal-within-family codon
+    frequencies (reference: src/codeml.c:498-556, com.pi <- fb61 and the
+    z[]+64 AA-as-codon-set recoding)."""
+    from ..models import aa as aamod
+
+    graph = codonmod.codon_graph(spec.icode)
+    faa = np.asarray(data.base_freqs, float)
+    faa = faa / faa.sum()
+    fb61 = aamod.aa2codonf(faa, graph)
+    M = np.zeros((20, graph.n))
+    M[graph.aa, np.arange(graph.n)] = 1.0
+    tips_c = jnp.asarray(np.asarray(data.tip_partials) @ M, dtype)
+    pi = jnp.asarray(fb61 / fb61.sum(), dtype)
+    fpatt = jnp.asarray(data.fpatt, dtype)
+    branch_nodes = topo.branch_nodes()
+    nb = len(branch_nodes)
+    bn = jnp.asarray(branch_nodes)
+    nnode = topo.nnode
+    nkappa = 0 if spec.fix_kappa else 1
+    nomega = 0 if spec.fix_omega else 1
+
+    def unpack(x):
+        t = x[:nb]
+        kap = x[nb] if nkappa else jnp.asarray(spec.kappa, dtype)
+        om = x[nb + nkappa] if nomega else jnp.asarray(spec.omega, dtype)
+        return t, kap, om
+
+    def neg_lnl(x):
+        x = x.astype(dtype)
+        t, kap, om = unpack(x)
+        s = codonmod.mutation_part(graph, kap, None, False, dtype)
+        Q = codonmod.build_Q(graph, s, om, pi)
+        mr = codonmod.mean_rate(graph, s, om, pi)
+        tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
+        P = pmat_rev(Q, pi, tfull[:, None] / mr)
+        piC = jnp.broadcast_to(pi, (1, graph.n))
+        return -pruning.lnL(P, tips_c, topo, piC, jnp.ones((1,), dtype),
+                            fpatt)
+
+    t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
+    if not (t0 > 0).any():
+        t0 = np.full(nb, 0.3)
+    t0 = np.maximum(t0, BLEN_MIN * 2)
+    x0 = list(t0) + [spec.kappa] * nkappa + [spec.omega] * nomega
+    bounds = ([(BLEN_MIN, BLEN_MAX)] * nb
+              + [(KAPPA_MIN, KAPPA_MAX)] * nkappa
+              + [(OMEGA_MIN, OMEGA_MAX)] * nomega)
+    return neg_lnl, unpack, np.array(x0), bounds, np.asarray(pi)
+
+
 def fit_aa_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
                   dtype=jnp.float64) -> CodemlResult:
+    if spec.aa_model == "FromCodon0":
+        neg_lnl, unpack, x0, bounds, pi_np = \
+            make_fromcodon0_objective(data, topo, spec, dtype)
+        res = maximize(neg_lnl, x0, bounds)
+        t, kap, om = unpack(jnp.asarray(res.x))
+        return CodemlResult(
+            lnL=res.lnL, np=len(res.x), blens=np.asarray(t),
+            branch_nodes=topo.branch_nodes(),
+            kappa=np.asarray([float(kap)]),
+            params={"omega": float(om)}, pi=pi_np, topo=topo, fit=res,
+            x=np.asarray(res.x), spec=spec)
     neg_lnl, unpack, x0, bounds, pi_np = \
         make_aa_objective(data, topo, spec, dtype)
     res = maximize(neg_lnl, x0, bounds)
-    t, alpha = unpack(jnp.asarray(res.x))
+    t, rates, alpha = unpack(jnp.asarray(res.x))
+    kap = (np.asarray(rates) if spec.aa_model == "FromCodon"
+           else np.zeros(0))
     return CodemlResult(
         lnL=res.lnL, np=len(res.x), blens=np.asarray(t),
-        branch_nodes=topo.branch_nodes(), kappa=np.zeros(0),
-        params={"alpha": float(alpha)}, pi=pi_np, topo=topo, fit=res,
-        x=np.asarray(res.x), spec=spec)
+        branch_nodes=topo.branch_nodes(), kappa=kap,
+        params={"alpha": float(alpha), "rates": np.asarray(rates)},
+        pi=pi_np, topo=topo, fit=res, x=np.asarray(res.x), spec=spec)
 
 
 def _fit_aadist(data, topo, spec, dtype=jnp.float64) -> CodemlResult:
@@ -803,6 +990,16 @@ def _fit_aadist(data, topo, spec, dtype=jnp.float64) -> CodemlResult:
         topo=topo, fit=res, x=np.asarray(res.x))
 
 
+def standard_errors(neg_lnl, x) -> np.ndarray:
+    """SEs of the MLEs from the observed information matrix (autodiff
+    Hessian of -lnL; replaces the reference's finite-difference Hessian /
+    HessianSKT2004, src/treesub.c:7241).  Parameters pinned at bounds give
+    near-singular information; pinv keeps the rest usable."""
+    H = np.asarray(jax.hessian(neg_lnl)(jnp.asarray(x, jnp.float64)))
+    cov = np.linalg.pinv((H + H.T) / 2)
+    return np.sqrt(np.clip(np.diag(cov), 0.0, None))
+
+
 def fit(seqfile: str, treefile: str, spec: CodemlSpec | None = None,
         tree_index: int = 0, dtype=jnp.float64) -> CodemlResult:
     spec = spec or CodemlSpec()
@@ -824,6 +1021,44 @@ def fit_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
     neg_lnl, unpack, classes_for, x0, bounds, pi_np = \
         make_codon_objective(data, topo, spec, dtype)
     multi = None
+    if spec.codonf in ("FMutSel", "FMutSel0") and spec.estFreq:
+        # staged fit: the 60-fitness (resp. 19-fitness) surface is ridged;
+        # start the full model from the estFreq=0 optimum (branch lengths,
+        # kappa, pi_TCA, omega) with data-derived fitness initials — the
+        # same information the reference's GetInitialsCodon uses
+        # (src/codeml.c:2111-2122)
+        from dataclasses import replace as _dc_replace
+        res0 = fit_packed(data, topo, _dc_replace(spec, estFreq=False),
+                          dtype)
+        nb0 = len(topo.branch_nodes())
+        nk0 = 0 if spec.fix_kappa else (5 if spec.hkyREV else 1)
+        i2 = nb0 + nk0 + 3
+        nfit0 = len(x0) - len(res0.x)
+        # fitness initials chosen so pi(x_staged) == the stage-0
+        # equilibrium frequencies exactly — the staged start then has the
+        # stage-0 optimum's likelihood and the optimizer only improves
+        graph0 = codonmod.codon_graph(spec.icode)
+        pf0 = np.append(res0.x[i2 - 3:i2], 1.0)
+        pf0 /= pf0.sum()
+        mut3 = (pf0[graph0.pos_nt[:, 0]] * pf0[graph0.pos_nt[:, 1]]
+                * pf0[graph0.pos_nt[:, 2]])
+        pi0 = np.asarray(res0.pi, float)
+        if spec.codonf == "FMutSel":
+            f = np.log(np.maximum(pi0, 1e-300) / mut3)
+            fit_init = f[:-1] - f[-1]
+        else:
+            mutbias = np.zeros(20)
+            np.add.at(mutbias, graph0.aa, mut3)
+            piAA0 = np.zeros(20)
+            np.add.at(piAA0, graph0.aa, pi0)
+            f = np.log(np.maximum(piAA0, 1e-300) / mutbias)
+            fit_init = f[:19] - f[19]
+        fit_init = np.clip(fit_init, -28.0, 28.0)
+        staged = np.concatenate([res0.x[:i2], fit_init, res0.x[i2:]])
+        multi = [np.concatenate([res0.x[:i2], x0[i2:i2 + nfit0],
+                                 res0.x[i2:]]),
+                 x0.copy()]
+        x0 = staged
     if spec.NSsites and spec.model == 0:
         extras = nssites_extra_starts(spec.NSsites, spec.ncatG, spec.fix_omega)
         n_theta = nssites_nparams(spec.NSsites, spec.ncatG, spec.fix_omega)
@@ -860,10 +1095,21 @@ def fit_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
             multi.append(s)
     res = maximize(neg_lnl, x0, bounds, multi_start=multi)
     xj = jnp.asarray(res.x)
-    t, kappa, theta = unpack(xj)
+    t, kappa, ppi, theta = unpack(xj)
     W, freqs, _ = classes_for(theta)
     params = {"theta": np.asarray(theta), "W": np.asarray(W),
               "freqs": np.asarray(freqs)}
+    if spec.codonf in ("FMutSel", "FMutSel0"):
+        graph = codonmod.codon_graph(spec.icode)
+        ppi_np = np.asarray(ppi)
+        pf = np.append(ppi_np[:3], 1.0)
+        pf /= pf.sum()
+        params["pf_TCAG"] = pf
+        params["fitness"] = ppi_np[3:]
+        fit_j = jnp.asarray(ppi_np[3:]) if len(ppi_np) > 3 else None
+        pi_np = np.asarray(codonmod.fmutsel_pi(
+            spec.codonf, jnp.asarray(pf), fit_j, jnp.asarray(pi_np), graph,
+            dtype))
     return CodemlResult(
         lnL=res.lnL, np=len(res.x), blens=np.asarray(t),
         branch_nodes=topo.branch_nodes(), kappa=np.asarray(kappa),

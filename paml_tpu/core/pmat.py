@@ -122,7 +122,10 @@ def _pmat_rev_jvp(primals, tangents):
     Ep = jnp.einsum("ik,...k,jk->...ij", U, e, U)
     dP_pi = (dinvsqp[:, None] * sqp[None, :] * Ep
              + (1.0 / sqp)[:, None] * dsqp[None, :] * Ep)
-    return P, dP_core + dP_pi
+    # match the primal's max(P, 0) clip (otherwise the value under AD
+    # differs from the plain value by the f32 eigh reconstruction noise)
+    dP = jnp.where(P > 0, dP_core + dP_pi, 0.0)
+    return jnp.maximum(P, 0.0), dP
 
 
 # ---------------------------------------------------------------------------

@@ -1,17 +1,35 @@
-"""Felsenstein pruning on TPU: scan over a static postorder schedule.
+"""Felsenstein pruning on TPU: level-batched contraction with an analytic
+adjoint.
 
 Replaces the reference's recursive `ConditionalPNode` (src/codeml.c:3526,
-src/baseml.c:1517) with a `lax.scan` over internal nodes.  Each step gathers
-the child partials, contracts them against the per-branch transition
-matrices with one batched einsum (MXU work), takes the product over
-children, and rescales per (class, pattern) — an always-on version of the
-reference's scaling-node machinery (`SetNodeScale`/`NodeScale`,
-src/treesub.c:7177-7227), accumulated in log space.
+src/baseml.c:1517).  Two execution strategies share one public API:
+
+* **Level path** (default): the tree is grouped into static depth levels at
+  trace time.  Each node's upward "contribution" c_v = P_v^T s_v is emitted
+  by ONE batched einsum per level (batch = nodes-in-level x classes, M =
+  patterns), and a parent's partial is the pure elementwise product of its
+  children's contributions followed by a per-(class, pattern) rescale — an
+  always-on version of the reference's scaling machinery
+  (`SetNodeScale`/`NodeScale`, src/treesub.c:7177-7227) accumulated in log
+  space.  All indices are static Python ints, so XLA sees straight-line
+  code with large batched matmuls (MXU work) and no dynamic gathers.
+  All tip contributions are computed up front in a single einsum.
+
+* **Scan path** (fallback for very deep trees, > _MAX_UNROLL levels): a
+  `lax.scan` over the postorder schedule, one internal node per step.
+
+Gradients w.r.t. P and pi use the classic inside/outside analytic adjoint
+(custom VJP) in both paths: the backward pass is one downward sweep reusing
+the forward's scaled partials, O(n_internal * H * n) memory.  (The same
+downward pass powers marginal ancestral reconstruction, reference:
+AncestralMarginal, src/treesub.c:6288.)
 
 Shapes:
   tips:  [ns, H, n]        tip partials (state-set indicators)
-  P:     [nnode, C, n, n]  transition matrices, row i = from-parent state
-  out:   per-class root partials [C, H, n] and log-scale [C, H]
+  P:     [nnode, C, n, n]  transition matrices, row j = from-parent state:
+                           c[h, j] = sum_i P[j, i] * s[h, i]
+  pi:    [C, n]            per-class root frequencies
+  out:   per-(class, pattern) log site likelihood [C, H]
 
 Site-class mixtures (discrete gamma, NSsites) ride the C axis; the final
 site log-likelihood is a logsumexp over classes (reference: `lfundG`,
@@ -19,11 +37,71 @@ src/treesub.c:7608, `fx_r` :7696).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .topology import Topology
+
+# matmul precision for the pruning einsums.  On TPU, f32 matmuls are
+# synthesized from bfloat16 passes; "highest" (6 passes) gives full f32
+# accuracy, "float32" (3 passes) ~f32, "bfloat16" 1 pass.  lnL parity at
+# 1e-5 needs >= 3 passes; default to full accuracy.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_matmul_precision(p) -> None:
+    """Set the einsum precision for the pruning kernels.
+
+    p: jax.lax.Precision or one of "highest", "float32", "bfloat16"."""
+    global _PRECISION
+    if isinstance(p, str):
+        p = {"highest": jax.lax.Precision.HIGHEST,
+             "float32": jax.lax.Precision.HIGH,
+             "bfloat16": jax.lax.Precision.DEFAULT}[p]
+    _PRECISION = p
+
+
+_MAX_UNROLL = 192          # levels; beyond this fall back to lax.scan
+
+# ---------------------------------------------------------------------------
+# static schedules
+# ---------------------------------------------------------------------------
+
+
+def _levels(topo: Topology):
+    """Group internal nodes into depth levels (children strictly below).
+
+    Returns a list of levels; each level is a list of (node, kids-tuple).
+    Level order is a valid topological order for the upward pass.
+    """
+    cached = getattr(topo, "_levels_cache", None)
+    if cached is not None:
+        return cached
+    depth = np.zeros(topo.nnode, dtype=np.int64)
+    kids_of = {}
+    for v in topo.postorder:
+        kids = tuple(int(c) for c in topo.children[v] if c >= 0)
+        kids_of[int(v)] = kids
+        depth[v] = 1 + max(depth[k] for k in kids)
+    out = []
+    for d in range(1, int(depth[topo.postorder].max()) + 1):
+        lv = [(int(v), kids_of[int(v)]) for v in topo.postorder
+              if depth[v] == d]
+        if lv:
+            out.append(lv)
+    topo._levels_cache = out
+    return out
+
+
+def _arity_groups(level):
+    """Split a level's [(node, kids)] by arity -> {K: [(node, kids)]}."""
+    groups: dict[int, list] = {}
+    for node, kids in level:
+        groups.setdefault(len(kids), []).append((node, kids))
+    return groups
 
 
 def _schedule(topo: Topology) -> tuple[np.ndarray, np.ndarray]:
@@ -32,78 +110,171 @@ def _schedule(topo: Topology) -> tuple[np.ndarray, np.ndarray]:
     return nodes.astype(np.int32), children.astype(np.int32)
 
 
-def root_partials(P: jnp.ndarray, tips: jnp.ndarray, topo: Topology):
-    """Compute per-class root partials and per-(class, pattern) log scale.
+# ---------------------------------------------------------------------------
+# level path: forward
+# ---------------------------------------------------------------------------
 
-    P: [nnode, C, n, n]; tips: [ns, H, n] -> ([C, H, n], [C, H])
-    """
+
+# Internal layout note: the level path keeps partials as [C, n, H] — the
+# large pattern axis in the TPU lane (last) dimension.  With n = 61 states,
+# the [H, n] layout pads BOTH matmul operand minor dims from 61 to the
+# 128-lane tile (~23% MXU utilization); [n, H] pads only the contraction
+# dim (~48%) and roughly halves padded HBM traffic for the elementwise
+# product/rescale stages.
+
+
+def _tip_contribs(P, tipsT, topo: Topology):
+    """One einsum for every tip's upward contribution: [ns, C, n, H].
+
+    tipsT: [ns, n, H]."""
     ns = topo.ns
-    nint = topo.n_internal
-    nnode = topo.nnode
-    C, n = P.shape[1], P.shape[3]
-    H = tips.shape[1]
+    return jnp.einsum("tih,tcji->tcjh", tipsT, P[:ns], precision=_PRECISION)
+
+
+def _forward_levels(P, tipsT, topo: Topology):
+    """Upward level sweep (tipsT: [ns, n, H]).
+
+    Returns (s, m): dicts node -> scaled partial [C, n, H] (internal nodes
+    only) and node -> scale factor [C, H]."""
+    ctip = _tip_contribs(P, tipsT, topo)
+    c = {t: ctip[t] for t in range(topo.ns)}
+    s: dict[int, jnp.ndarray] = {}
+    m: dict[int, jnp.ndarray] = {}
+    for level in _levels(topo):
+        emit_nodes = []
+        emit_vals = []
+        for K, grp in _arity_groups(level).items():
+            kid_c = jnp.stack([c[k] for node, kids in grp for k in kids])
+            W = len(grp)
+            kid_c = kid_c.reshape((W, K) + kid_c.shape[1:])   # [W,K,C,n,H]
+            prod = kid_c[:, 0]
+            for k in range(1, K):
+                prod = prod * kid_c[:, k]                     # [W,C,n,H]
+            mm = jnp.max(prod, axis=-2)                       # [W,C,H]
+            msafe = jnp.where(mm > 0, mm, 1.0)
+            sv = prod / msafe[..., None, :]
+            for w, (node, kids) in enumerate(grp):
+                s[node] = sv[w]
+                m[node] = msafe[w]
+                if node != topo.root:
+                    emit_nodes.append(node)
+                    emit_vals.append(sv[w])
+        if emit_nodes:
+            S = jnp.stack(emit_vals)                          # [W,C,n,H]
+            Pn = P[np.array(emit_nodes)]                      # [W,C,n,n]
+            cv = jnp.einsum("wcih,wcji->wcjh", S, Pn,
+                            precision=_PRECISION)
+            for w, node in enumerate(emit_nodes):
+                c[node] = cv[w]
+    return s, m
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _class_site_lnf_lvl(P, tips, topo: Topology, pi):
+    tipsT = jnp.swapaxes(tips.astype(P.dtype), -1, -2)
+    s, m = _forward_levels(P, tipsT, topo)
+    F = jnp.einsum("cnh,cn->ch", s[topo.root], pi)
+    F = jnp.maximum(F, jnp.finfo(F.dtype).tiny)
+    return jnp.log(F) + sum(jnp.log(mv) for mv in m.values())
+
+
+def _lnf_lvl_fwd(P, tips, topo, pi):
+    tipsT = jnp.swapaxes(tips.astype(P.dtype), -1, -2)
+    s, m = _forward_levels(P, tipsT, topo)
+    F = jnp.einsum("cnh,cn->ch", s[topo.root], pi)
+    F = jnp.maximum(F, jnp.finfo(F.dtype).tiny)
+    logm = sum(jnp.log(mv) for mv in m.values())
+    lnf = jnp.log(F) + logm
+    return lnf, (P, tipsT, s, m, F, pi)
+
+
+def _lnf_lvl_bwd(topo, res, gbar):
+    P, tipsT, s, m, F, pi = res
+    ns = topo.ns
     dtype = P.dtype
-    nodes, children = _schedule(topo)
-    tips = tips.astype(dtype)
+    C, n = P.shape[1], P.shape[3]
+    H = tipsT.shape[2]
+    levels = _levels(topo)
 
-    buf0 = jnp.zeros((nint, C, H, n), dtype)
-    scale0 = jnp.zeros((C, H), dtype)
+    # recompute all contributions (cheaper than storing them): tips in one
+    # einsum; internal nodes in one einsum (they only depend on stored s).
+    ctip = _tip_contribs(P, tipsT, topo)
+    c = {t: ctip[t] for t in range(ns)}
+    int_nodes = [node for lv in levels for node, _ in lv
+                 if node != topo.root]
+    if int_nodes:
+        S = jnp.stack([s[v] for v in int_nodes])
+        cv = jnp.einsum("wcih,wcji->wcjh", S, P[np.array(int_nodes)],
+                        precision=_PRECISION)
+        for w, v in enumerate(int_nodes):
+            c[v] = cv[w]
 
-    def step(carry, sched):
-        buf, logscale = carry
-        node, kids = sched                      # node: scalar, kids: [K]
-        valid = kids >= 0
-        is_tip = (kids >= 0) & (kids < ns)
-        tipvals = tips[jnp.clip(kids, 0, ns - 1)]               # [K, H, n]
-        intvals = buf[jnp.clip(kids - ns, 0, nint - 1)]         # [K, C, H, n]
-        part = jnp.where(is_tip[:, None, None, None],
-                         tipvals[:, None, :, :], intvals)       # [K, C, H, n]
-        Pk = P[jnp.clip(kids, 0, nnode - 1)]                    # [K, C, n, n]
-        contrib = jnp.einsum("kchi,kcji->kchj", part, Pk)       # [K, C, H, n]
-        contrib = jnp.where(valid[:, None, None, None], contrib, 1.0)
-        # unrolled product over the (static, small) child axis: jnp.prod's
-        # reduce_prod gradient divides by the inputs and NaNs on exact
-        # zeros (which P = max(P, 0) clipping can produce in f32)
-        prod = contrib[0]
-        for k in range(1, contrib.shape[0]):
-            prod = prod * contrib[k]                            # [C, H, n]
-        m = jnp.max(prod, axis=-1, keepdims=True)
-        msafe = jnp.where(m > 0, m, 1.0)
-        prod = prod / msafe
-        logscale = logscale + jnp.log(msafe[..., 0])
-        buf = buf.at[node - ns].set(prod)
-        return (buf, logscale), None
+    A: dict[int, jnp.ndarray] = {
+        topo.root: gbar[:, None, :] * pi[:, :, None] / F[:, None, :]}
+    dP: dict[int, jnp.ndarray] = {}
+    cap = 1e12
+    for level in reversed(levels):
+        for K, grp in _arity_groups(level).items():
+            W = len(grp)
+            kid_c = jnp.stack([c[k] for node, kids in grp for k in kids])
+            kid_c = kid_c.reshape((W, K, C, n, H))
+            # leave-one-out products over the child axis
+            pre = [jnp.ones_like(kid_c[:, 0])]
+            for k in range(1, K):
+                pre.append(pre[-1] * kid_c[:, k - 1])
+            suf = [jnp.ones_like(kid_c[:, 0])]
+            for k in range(K - 2, -1, -1):
+                suf.insert(0, suf[0] * kid_c[:, k + 1])
+            loo = jnp.stack([pre[k] * suf[k] for k in range(K)], axis=1)
+            Av = jnp.stack([A[node] for node, _ in grp])        # [W,C,n,H]
+            mv = jnp.stack([m[node] for node, _ in grp])        # [W,C,H]
+            G = Av[:, None] * loo / mv[:, None, :, None, :]     # [W,K,C,n,H]
+            # keep the adjoint finite at absurd line-search trial points
+            # (underflowed partials make 1/m overflow); gradients there are
+            # garbage either way — the optimizer just needs to backtrack
+            G = jnp.clip(jnp.nan_to_num(G, nan=0.0, posinf=cap,
+                                        neginf=-cap), -cap, cap)
+            kidflat = [k for _, kids in grp for k in kids]
+            U = jnp.stack([
+                (jnp.broadcast_to(tipsT[k][None], (C, n, H))
+                 if k < ns else s[k]) for k in kidflat])
+            U = U.reshape(W, K, C, n, H)
+            dPk = jnp.einsum("wkcjh,wkcih->wkcji", G, U,
+                             precision=_PRECISION)
+            Pk = P[np.array(kidflat)].reshape(W, K, C, n, n)
+            Ak = jnp.einsum("wkcjh,wkcji->wkcih", G, Pk,
+                            precision=_PRECISION)
+            for w, (node, kids) in enumerate(grp):
+                for k, kid in enumerate(kids):
+                    dP[kid] = dPk[w, k]
+                    if kid >= ns:
+                        A[kid] = Ak[w, k]
+    zero = jnp.zeros((C, n, n), dtype)
+    dP_all = jnp.stack([dP.get(v, zero) for v in range(topo.nnode)])
+    dpi = jnp.einsum("ch,cnh->cn", gbar / F, s[topo.root])
+    big = 1e30
+    dP_all = jnp.nan_to_num(dP_all, nan=0.0, posinf=big, neginf=-big)
+    dpi = jnp.nan_to_num(dpi, nan=0.0, posinf=big, neginf=-big)
+    return dP_all, jnp.zeros((tipsT.shape[0], H, n), tipsT.dtype), dpi
 
-    (buf, logscale), _ = jax.lax.scan(
-        step, (buf0, scale0), (jnp.asarray(nodes), jnp.asarray(children)))
-    return buf[topo.root - ns], logscale
+
+_class_site_lnf_lvl.defvjp(_lnf_lvl_fwd, _lnf_lvl_bwd)
 
 
 # ---------------------------------------------------------------------------
-# memory-efficient gradient: analytic adjoint (inside/outside) custom VJP
+# scan path (deep trees): one internal node per lax.scan step
 # ---------------------------------------------------------------------------
-#
-# Differentiating through the upward scan would make JAX store the full
-# partials buffer once per scan step (O(n_internal^2 * H * n) memory).  The
-# pruning recursion has a classic analytic adjoint: with upward (inside)
-# partials U and downward (outside) adjoints A,
-#   dlnf/dP_c[j,k] = A_via[j] * U_c[k],   A_c = P_c^T A_via,
-#   A_via = A_parent * prod_{siblings} (P_s U_s),
-# so the backward pass is a single downward scan reusing the forward's
-# stored buffers — O(n_internal * H * n) total.  (The same downward pass
-# later powers marginal ancestral reconstruction, reference:
-# AncestralMarginal, src/treesub.c:6288.)
 
 
 def _forward_buffers(P, tips, topo: Topology):
-    """Upward scan; returns (buf [nint,C,H,n] scaled partials,
-    mbuf [nint,C,H] per-node scale factors)."""
+    """Upward scan; returns (buf [nint,C,H,n] scaled partials indexed by
+    node-ns, mbuf [nint,C,H] per-node scale factors in postorder order)."""
     ns, nint, nnode = topo.ns, topo.n_internal, topo.nnode
     C, n = P.shape[1], P.shape[3]
     H = tips.shape[1]
     dtype = P.dtype
     nodes, children = _schedule(topo)
-    tips = tips.astype(dtype)
+    tips = jnp.asarray(tips).astype(dtype)
     buf0 = jnp.zeros((nint, C, H, n), dtype)
 
     def step(buf, sched):
@@ -115,8 +286,12 @@ def _forward_buffers(P, tips, topo: Topology):
         part = jnp.where(is_tip[:, None, None, None],
                          tipvals[:, None, :, :], intvals)
         Pk = P[jnp.clip(kids, 0, nnode - 1)]
-        contrib = jnp.einsum("kchi,kcji->kchj", part, Pk)
+        contrib = jnp.einsum("kchi,kcji->kchj", part, Pk,
+                             precision=_PRECISION)
         contrib = jnp.where(valid[:, None, None, None], contrib, 1.0)
+        # unrolled product over the (static, small) child axis: jnp.prod's
+        # reduce_prod gradient divides by the inputs and NaNs on exact
+        # zeros (which P = max(P, 0) clipping can produce in f32)
         prod = contrib[0]
         for k in range(1, contrib.shape[0]):
             prod = prod * contrib[k]
@@ -131,24 +306,28 @@ def _forward_buffers(P, tips, topo: Topology):
     return buf, ms            # ms ordered by postorder position
 
 
-from functools import partial
+def root_partials(P: jnp.ndarray, tips: jnp.ndarray, topo: Topology):
+    """Per-class root partials [C, H, n] and per-(class, pattern) log scale
+    [C, H]."""
+    if len(_levels(topo)) <= _MAX_UNROLL:
+        tipsT = jnp.swapaxes(tips.astype(P.dtype), -1, -2)
+        s, m = _forward_levels(P, tipsT, topo)
+        logscale = sum(jnp.log(mv) for mv in m.values())
+        return jnp.swapaxes(s[topo.root], -1, -2), logscale
+    buf, ms = _forward_buffers(P, tips, topo)
+    return buf[topo.root - topo.ns], jnp.sum(jnp.log(ms), axis=0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
-def class_site_lnf(P, tips, topo: Topology, pi):
-    """Per-(class, pattern) log site likelihood [C, H].
-
-    pi: [C, n] per-class root frequencies.  Gradients w.r.t. P and pi via
-    the analytic adjoint; tips are treated as data (zero gradient).
-    """
+def _class_site_lnf_scan(P, tips, topo: Topology, pi):
     buf, ms = _forward_buffers(P, tips, topo)
-    rootp = buf[topo.root - topo.ns]                            # [C, H, n]
+    rootp = buf[topo.root - topo.ns]
     F = jnp.einsum("chn,cn->ch", rootp, pi)
     F = jnp.maximum(F, jnp.finfo(F.dtype).tiny)
     return jnp.log(F) + jnp.sum(jnp.log(ms), axis=0)
 
 
-def _lnf_fwd(P, tips, topo, pi):
+def _lnf_scan_fwd(P, tips, topo, pi):
     buf, ms = _forward_buffers(P, tips, topo)
     rootp = buf[topo.root - topo.ns]
     F = jnp.einsum("chn,cn->ch", rootp, pi)
@@ -157,7 +336,7 @@ def _lnf_fwd(P, tips, topo, pi):
     return lnf, (P, tips, buf, ms, F, pi)
 
 
-def _lnf_bwd(topo, res, gbar):
+def _lnf_scan_bwd(topo, res, gbar):
     P, tips, buf, ms, F, pi = res
     ns, nint, nnode = topo.ns, topo.n_internal, topo.nnode
     C, n = P.shape[1], P.shape[3]
@@ -167,7 +346,7 @@ def _lnf_bwd(topo, res, gbar):
     tips = tips.astype(dtype)
     rootp = buf[topo.root - topo.ns]
 
-    # adjoint at the root (hat space): A_root = gbar * pi / F
+    # adjoint at the root: A_root = gbar * pi / F
     A0 = gbar[:, :, None] * pi[:, None, :] / F[:, :, None]       # [C, H, n]
     Abuf0 = jnp.zeros((nint, C, H, n), dtype).at[topo.root - ns].set(A0)
     dP0 = jnp.zeros_like(P)
@@ -189,7 +368,7 @@ def _lnf_bwd(topo, res, gbar):
         U = jnp.where(is_tip[:, None, None, None],
                       tipvals[:, None, :, :], intvals)          # [K,C,H,n]
         Pk = P[jnp.clip(kids, 0, nnode - 1)]                    # [K,C,n,n]
-        c = jnp.einsum("kchi,kcji->kchj", U, Pk)                # [K,C,H,n]
+        c = jnp.einsum("kchi,kcji->kchj", U, Pk, precision=_PRECISION)
         c = jnp.where(valid[:, None, None, None], c, 1.0)
         K = c.shape[0]
         # leave-one-out products over the child axis
@@ -204,17 +383,15 @@ def _lnf_bwd(topo, res, gbar):
         minv = 1.0 / ms_all[post_idx]                           # [C,H]
         G = Ap[None] * loo * minv[None, :, :, None]             # [K,C,H,n]
         G = jnp.where(valid[:, None, None, None], G, 0.0)
-        # cap the adjoint chain: at absurd line-search trial points the
-        # partials underflow and 1/m overflows; keep everything finite so
-        # the optimizer can backtrack (gradients at such points are
-        # garbage either way)
+        # keep the adjoint finite at absurd line-search trial points (see
+        # level path)
         cap = 1e12
         G = jnp.clip(jnp.nan_to_num(G, nan=0.0, posinf=cap, neginf=-cap),
                      -cap, cap)
-        dPk = jnp.einsum("kchj,kchi->kcji", G, U)               # [K,C,n,n]
+        dPk = jnp.einsum("kchj,kchi->kcji", G, U, precision=_PRECISION)
         dP = dP.at[jnp.clip(kids, 0, nnode - 1)].add(
             jnp.where(valid[:, None, None, None], dPk, 0.0))
-        Ak = jnp.einsum("kchj,kcjn->kchn", G, Pk)               # [K,C,H,n]
+        Ak = jnp.einsum("kchj,kcjn->kchn", G, Pk, precision=_PRECISION)
         int_kid = (kids >= ns)
         Abuf = Abuf.at[jnp.clip(kids - ns, 0, nint - 1)].add(
             jnp.where(int_kid[:, None, None, None], Ak, 0.0))
@@ -222,17 +399,29 @@ def _lnf_bwd(topo, res, gbar):
 
     (Abuf, dP), _ = jax.lax.scan(step, (Abuf0, dP0), sched)
     dpi = jnp.einsum("ch,chn->cn", gbar / F, rootp)
-    # at pathological parameter points (line-search trial steps far outside
-    # the plausible region) partials can underflow to exact zero and the
-    # 1/m adjoint chain overflows; keep gradients finite so the optimizer
-    # can backtrack instead of aborting
     big = 1e30
     dP = jnp.nan_to_num(dP, nan=0.0, posinf=big, neginf=-big)
     dpi = jnp.nan_to_num(dpi, nan=0.0, posinf=big, neginf=-big)
     return dP, jnp.zeros_like(tips), dpi
 
 
-class_site_lnf.defvjp(_lnf_fwd, _lnf_bwd)
+_class_site_lnf_scan.defvjp(_lnf_scan_fwd, _lnf_scan_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def class_site_lnf(P, tips, topo: Topology, pi):
+    """Per-(class, pattern) log site likelihood [C, H].
+
+    pi: [C, n] per-class root frequencies.  Gradients w.r.t. P and pi via
+    the analytic adjoint; tips are treated as data (zero gradient).
+    """
+    if len(_levels(topo)) <= _MAX_UNROLL:
+        return _class_site_lnf_lvl(P, tips, topo, pi)
+    return _class_site_lnf_scan(P, tips, topo, pi)
 
 
 def site_loglik(P: jnp.ndarray, tips: jnp.ndarray, topo: Topology,
@@ -252,6 +441,32 @@ def lnL(P, tips, topo, pi, class_w, fpatt) -> jnp.ndarray:
     src/treesub.c:7764)."""
     lnf = site_loglik(P, tips, topo, pi, class_w)
     return jnp.sum(fpatt * lnf)
+
+
+def lnL_chunked(P, tips, topo, pi, class_w, fpatt, n_chunks: int):
+    """Total log-likelihood with the pattern axis processed in chunks.
+
+    For very large (taxa x patterns) problems the full partials buffer
+    (O(n_internal * C * n * H)) does not fit in HBM; this maps over H
+    chunks with rematerialization so peak memory is one chunk's buffers.
+    Gradients flow (the chunk forward is recomputed in the backward pass).
+    H must be divisible by n_chunks (pad fpatt with zeros to round up —
+    zero-weight patterns contribute nothing).
+    """
+    ns, H = tips.shape[0], tips.shape[1]
+    n = tips.shape[2]
+    assert H % n_chunks == 0, "pad patterns to a multiple of n_chunks"
+    chunk = H // n_chunks
+    tips_c = jnp.moveaxis(tips.reshape(ns, n_chunks, chunk, n), 1, 0)
+    fpatt_c = fpatt.reshape(n_chunks, chunk)
+
+    @jax.checkpoint
+    def one(args):
+        tp, fp = args
+        return lnL(P, tp, topo, pi, class_w, fp)
+
+    vals = jax.lax.map(one, (tips_c, fpatt_c))
+    return jnp.sum(vals)
 
 
 def site_class_posterior(P, tips, topo, pi, class_w) -> jnp.ndarray:

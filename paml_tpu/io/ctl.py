@@ -121,10 +121,12 @@ def codeml_spec(opts: dict, ctl_path: str):
         alpha=float(_first_num(g("alpha", "0"))),
         cleandata=bool(int(_first_num(g("cleandata", "0")))),
         getSE=bool(int(_first_num(g("getSE", "0")))),
+        hkyREV=bool(int(_first_num(g("hkyREV", "0")))),
+        estFreq=bool(int(_first_num(g("estFreq", "0")))),
     )
     if seqtype in (2, 3):
         names = {0: "Poisson", 1: "EqualInput", 2: "Empirical",
-                 3: "Empirical_F", 5: "FromCodon", 6: "FromCodon",
+                 3: "Empirical_F", 5: "FromCodon0", 6: "FromCodon",
                  8: "REVaa_0", 9: "REVaa"}
         spec.aa_model = names.get(aa_model_i, "Empirical_F")
         rf = g("aaRatefile")

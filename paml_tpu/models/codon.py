@@ -220,6 +220,121 @@ def mutation_part(graph: CodonGraph, kappa, pf3x4=None, hkyrev: bool = False,
     return s
 
 
+# ---------------------------------------------------------------------------
+# FMutSel / FMutSel0 mutation-selection models (Yang & Nielsen 2008)
+# reference: GetCodonFreqs src/codeml.c:2689, GetMutationMultiplier :3060
+# ---------------------------------------------------------------------------
+
+def observed_piAA(fcodon, graph: CodonGraph) -> np.ndarray:
+    """Observed amino-acid frequencies pooled from codon frequencies."""
+    piAA = np.zeros(20)
+    np.add.at(piAA, graph.aa, np.asarray(fcodon))
+    return piAA / piAA.sum()
+
+
+def _mut3(pf, graph: CodonGraph):
+    """Per-codon mutation-bias product pf[b0]*pf[b1]*pf[b2] ([n])."""
+    return (pf[graph.pos_nt[:, 0]] * pf[graph.pos_nt[:, 1]]
+            * pf[graph.pos_nt[:, 2]])
+
+
+def fmutsel_pi(codonf: str, pf, fit, fcodon_obs, graph: CodonGraph,
+               dtype=jnp.float64):
+    """Equilibrium codon frequencies under FMutSel/FMutSel0.
+
+    pf: [4] normalized mutation-bias nucleotide frequencies (traced).
+    fit: estimated fitnesses — [n-1] codon fitnesses (FMutSel) or [19]
+    amino-acid fitnesses (FMutSel0), last one fixed at 0 — or None for the
+    estFreq=0 parameterization.  Reference: GetCodonFreqs,
+    src/codeml.c:2689-2755.
+    """
+    mut3 = _mut3(pf, graph)
+    if codonf == "FMutSel":
+        if fit is None:
+            # npi=3: codon frequencies stay at the observed values
+            # (codeml.c:2715 early return keeps com.pi from the data)
+            pi = jnp.asarray(fcodon_obs, dtype)
+        else:
+            pi = mut3 * jnp.exp(jnp.concatenate(
+                [fit, jnp.zeros((1,), dtype)]))
+    elif codonf == "FMutSel0":
+        aa = jnp.asarray(graph.aa)
+        if fit is None:
+            # npi=3: within-family mutation bias x observed AA frequencies
+            # (codeml.c:2737-2752)
+            piAA = jnp.asarray(observed_piAA(fcodon_obs, graph), dtype)
+            mutbias = jnp.zeros((20,), dtype).at[aa].add(mut3)
+            pi = mut3 / mutbias[aa] * piAA[aa]
+        else:
+            fit20 = jnp.concatenate([fit, jnp.zeros((1,), dtype)])
+            pi = mut3 * jnp.exp(fit20[aa])
+    else:
+        raise ValueError(codonf)
+    return pi / jnp.sum(pi)
+
+
+def fmutsel_multiplier(graph: CodonGraph, pf, pi, ls: int,
+                       dtype=jnp.float64):
+    """Fixation-probability multiplier for the single-step pairs ([m]).
+
+    eFit_i = max(pi_i, small)/mut3_i; the pair factor is
+    (ln eF_a - ln eF_b)/(eF_a - eF_b), i.e. S_ij/(1-e^-S_ij) folded with
+    the mutation part, with the neutral-limit fallback 1/eF_a (reference:
+    GetMutationMultiplier, src/codeml.c:3074-3084; the reference computes
+    the pair once for (i>j) and assigns symmetrically, codeml.c:3305).
+    The 1/(pf*pf) unchanged-position division is handled by
+    `mutation_part` via the tiled pf3x4 table.
+    """
+    small = min(1e-6, 1.0 / max(int(ls), 1))
+    mut3 = _mut3(pf, graph)
+    eF = jnp.maximum(pi, small) / mut3
+    ea = eF[graph.pi_idx]          # reference's "to" codon (lower index)
+    eb = eF[graph.pj_idx]          # reference's "from" codon
+    d = ea - eb
+    safe_d = jnp.where(jnp.abs(d) > 1e-10, d, 1.0)
+    ratio = (jnp.log(ea) - jnp.log(eb)) / safe_d
+    return jnp.where(jnp.abs(d) > 1e-10, ratio, 1.0 / ea)
+
+
+def selection_coefficients(graph: CodonGraph, pf, pi, kappa, omega,
+                           hkyrev: bool, ls: int):
+    """Per-pair 2Ns selection coefficients and mutation/substitution flux
+    (reference: SelectionCoefficients, src/codeml.c:3089).
+
+    Returns dict with pair arrays Ns [m], qmut [m] (i->j flux = pi_i q
+    pf_toj), qsub, qsubw, and summary stats matching the reference output.
+    """
+    pf = np.asarray(pf, float)
+    pi = np.asarray(pi, float)
+    small = min(1e-6, 1.0 / max(int(ls), 1))
+    mut3 = np.asarray(_mut3(pf, graph))
+    eF = np.maximum(pi, small) / mut3
+    a, b = graph.pi_idx, graph.pj_idx
+    # reference iterates i>j: from=i (higher)=b... Ns[i,j] = log(eF_j/eF_i)
+    Ns_ba = np.log(eF[a] / eF[b])      # 2Ns for b -> a
+    if hkyrev:
+        rates6 = np.concatenate([np.asarray(kappa, float).reshape(-1),
+                                 [1.0]])
+        q = rates6[graph.gtr_class]
+    else:
+        q = np.where(graph.is_ts, float(np.asarray(kappa).reshape(-1)[0]),
+                     1.0)
+    qmut_ba = pi[b] * q * pf[graph.nt_i]   # b(=j-sense from) -> a flux
+    qmut_ab = pi[a] * q * pf[graph.nt_j]
+    nz = np.abs(Ns_ba) > 1e-20
+    fac_ba = np.where(nz, Ns_ba / (1 - np.exp(-Ns_ba)), 1.0)
+    fac_ab = np.where(nz, -Ns_ba / (1 - np.exp(Ns_ba)), 1.0)
+    qsub_ba = qmut_ba * fac_ba
+    qsub_ab = qmut_ab * fac_ab
+    wfac = np.where(graph.is_syn, 1.0, float(omega))
+    return {
+        "Ns_ba": Ns_ba, "qmut_ba": qmut_ba, "qmut_ab": qmut_ab,
+        "qsub_ba": qsub_ba, "qsub_ab": qsub_ab,
+        "qsubw_ba": qsub_ba * wfac, "qsubw_ab": qsub_ab * wfac,
+        "is_syn": np.asarray(graph.is_syn),
+    }
+
+
 def flux(graph: CodonGraph, s, pi):
     """Synonymous and nonsynonymous flux at omega=1:
     mr(Q(omega)) = rs + omega * ra."""
@@ -230,10 +345,12 @@ def flux(graph: CodonGraph, s, pi):
     return rs, ra
 
 
-def build_Q(graph: CodonGraph, s, omega, pi, dtype=jnp.float64):
+def build_Q(graph: CodonGraph, s, omega, pi, dtype=None):
     """Unnormalized Q (off-diagonals + diagonal).  omega scalar."""
     n = graph.n
     vals = s * jnp.where(jnp.asarray(graph.is_syn), 1.0, omega)
+    if dtype is None:
+        dtype = jnp.result_type(vals.dtype, jnp.asarray(pi).dtype)
     Q = jnp.zeros((n, n), dtype)
     Q = Q.at[graph.pi_idx, graph.pj_idx].set(vals * pi[graph.pj_idx])
     Q = Q.at[graph.pj_idx, graph.pi_idx].set(vals * pi[graph.pi_idx])
@@ -246,13 +363,15 @@ def mean_rate(graph: CodonGraph, s, omega, pi):
     return rs + omega * ra
 
 
-def build_Q_pair(graph: CodonGraph, s, w_pair, pi, dtype=jnp.float64):
+def build_Q_pair(graph: CodonGraph, s, w_pair, pi, dtype=None):
     """Unnormalized Q with a per-single-step-pair omega factor
     (reference: GetOmega applied inside eigenQcodon, src/codeml.c:3298-3301
     for aaDist/AAClasses/FIT models).  w_pair [m] should be 1 on
     synonymous pairs."""
     n = graph.n
     vals = s * w_pair
+    if dtype is None:
+        dtype = jnp.result_type(vals.dtype, jnp.asarray(pi).dtype)
     Q = jnp.zeros((n, n), dtype)
     Q = Q.at[graph.pi_idx, graph.pj_idx].set(vals * pi[graph.pj_idx])
     Q = Q.at[graph.pj_idx, graph.pi_idx].set(vals * pi[graph.pi_idx])
