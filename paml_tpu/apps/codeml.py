@@ -52,6 +52,10 @@ class CodemlSpec:
     kappa: float = 2.0
     fix_omega: bool = False
     omega: float = 0.4
+    Mgene: int = 0               # 0 rates; 1 separate; 2 diff pi;
+                                 # 3 diff kappa; 4 all diff (codeml.ctl)
+    clock: int = 0               # 0 none; 1 global; 2 local (#i labels);
+                                 # '@' fossil ages give absolute rates
     aaDist: int = 0              # +-1..6 chemical distances; 7 AAClasses;
                                  # 11 FIT1, 12 FIT2 (src/codeml.c:238)
     omegaAA: str | None = None   # OmegaAA.dat path/text for aaDist = 7
@@ -370,7 +374,9 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
     pi_np = codonmod.codon_pi(spec.codonf, fcodon, f3x4, f1x4, graph)
     pf3x4 = codonmod.mg_pf3x4(spec.codonf, f3x4, f1x4)
     pi = jnp.asarray(pi_np, dtype)
-    tips = jnp.asarray(data.tip_partials, dtype)
+    tips = (jnp.asarray(data.tip_partials)
+            if np.asarray(data.tip_partials).ndim == 2
+            else jnp.asarray(data.tip_partials, dtype))
     fpatt = jnp.asarray(data.fpatt, dtype)
 
     branch_nodes = topo.branch_nodes()
@@ -381,6 +387,15 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
     NS = spec.NSsites
     ncatG = spec.ncatG
     nkappa = 0 if spec.fix_kappa else (5 if spec.hkyREV else 1)
+
+    # clock >= 1: branch lengths come from node ages (reference: SetBranch
+    # src/treesub.c:3770; '@' fossils give absolute rates)
+    if spec.clock >= 1:
+        from ..core.clockparam import make_clock_times
+        clock_fn, n_time, xt0, tbounds, _cinfo = make_clock_times(
+            topo, spec.clock)
+    else:
+        n_time = nb
 
     # FMutSel/FMutSel0 frequency parameters (reference: com.npi,
     # src/codeml.c:1576-1588): 3 mutation-bias pi_TCA ratios, plus with
@@ -421,8 +436,8 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
         n_w = 0
 
     def unpack(x):
-        t = x[:nb]
-        k = nb
+        t = x[:n_time]
+        k = n_time
         kappa = x[k:k + nkappa] if nkappa else jnp.asarray(
             [spec.kappa] * (5 if spec.hkyREV else 1), dtype)
         k += nkappa
@@ -522,7 +537,10 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
         else:
             wbar = jnp.sum(W * freqs[None, :], axis=1)      # [B]
             scale_flat = jnp.repeat(1.0 / (rs + ra * wbar), K)
-        tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
+        if spec.clock >= 1:
+            tfull = clock_fn(t)
+        else:
+            tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
         # ts[node, b*k] = t[node] * scale[b*k]
         ts = tfull[:, None] * scale_flat[None, :]           # [nnode, B*K]
         P_all = jax.vmap(pmat_rev, in_axes=(0, None, 1), out_axes=1)(
@@ -562,12 +580,16 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
     neg_lnl.class_posterior = class_posterior_fn
 
     # x0 / bounds
-    t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
-    if not (t0 > 0).any():
-        t0 = np.full(nb, 0.1)
-    t0 = np.maximum(t0, BLEN_MIN * 2)
-    x0 = list(t0)
-    bounds = [(BLEN_MIN, BLEN_MAX)] * nb
+    if spec.clock >= 1:
+        x0 = list(xt0)
+        bounds = list(tbounds)
+    else:
+        t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
+        if not (t0 > 0).any():
+            t0 = np.full(nb, 0.1)
+        t0 = np.maximum(t0, BLEN_MIN * 2)
+        x0 = list(t0)
+        bounds = [(BLEN_MIN, BLEN_MAX)] * nb
     if nkappa:
         x0 += [spec.kappa] * nkappa
         bounds += [(KAPPA_MIN, KAPPA_MAX)] * nkappa
@@ -990,6 +1012,157 @@ def _fit_aadist(data, topo, spec, dtype=jnp.float64) -> CodemlResult:
         topo=topo, fit=res, x=np.asarray(res.x))
 
 
+def make_codon_mgene_objective(data: seqio.PackedData, topo: Topology,
+                               spec: CodemlSpec, Mgene: int,
+                               dtype=jnp.float64):
+    """Multi-gene codon M0 likelihood (reference: SetPGene codeml.c:2421,
+    MultipleGenes treesub.c:5170; ctl comment 'codon: 0:rates, 1:separate,
+    2:diff pi, 3:diff kappa, 4:all diff').
+
+    x layout mirrors the reference: t[nb], rgene[ngene-1], then one
+    (kappa, omega) set (Mgene 0/2) or one per gene (Mgene 3/4).  pi is
+    pooled for Mgene 0/3 and per-gene for Mgene 2/4; each gene's Q is
+    normalized by its own mean rate and branch lengths scale by rgene_g
+    (gene 0 is the reference with rate 1).
+    """
+    if Mgene not in (0, 2, 3, 4):
+        raise ValueError(f"Mgene {Mgene} not handled here (1 = separate)")
+    graph = codonmod.codon_graph(spec.icode)
+    G = data.ngene
+    posG = np.asarray(data.posG)
+    per_pi = Mgene in (2, 4)
+    per_rates = Mgene in (3, 4)
+
+    pis, pfs, tips_g, fpatt_g = [], [], [], []
+    for g in range(G):
+        sl = slice(posG[g], posG[g + 1])
+        if per_pi:
+            pm = (data.pos_masks[:, sl] if data.pos_masks is not None
+                  else None)
+            fc, f3, f1 = codonmod.count_codon_freqs(
+                data.tip_partials[:, sl], data.fpatt[sl], graph, pm)
+        else:
+            fc, f3, f1 = codonmod.count_codon_freqs(
+                data.tip_partials, data.fpatt, graph, data.pos_masks)
+        pis.append(jnp.asarray(
+            codonmod.codon_pi(spec.codonf, fc, f3, f1, graph), dtype))
+        pfs.append(codonmod.mg_pf3x4(spec.codonf, f3, f1))
+        tp = data.tip_partials[:, sl]
+        tips_g.append(jnp.asarray(tp) if tp.ndim == 2
+                      else jnp.asarray(tp, dtype))
+        fpatt_g.append(jnp.asarray(data.fpatt[sl], dtype))
+
+    branch_nodes = topo.branch_nodes()
+    nb = len(branch_nodes)
+    bn = jnp.asarray(branch_nodes)
+    nnode = topo.nnode
+    nkappa1 = 0 if spec.fix_kappa else (5 if spec.hkyREV else 1)
+    nomega1 = 0 if spec.fix_omega else 1
+    nsets = G if per_rates else 1
+    nrgene = G - 1
+
+    def unpack(x):
+        t = x[:nb]
+        rgene = jnp.concatenate([jnp.ones((1,), dtype),
+                                 x[nb:nb + nrgene]])
+        k = nb + nrgene
+        kaps, oms = [], []
+        for gset in range(nsets):
+            if nkappa1:
+                kaps.append(x[k:k + nkappa1])
+                k += nkappa1
+            else:
+                kaps.append(jnp.asarray(
+                    [spec.kappa] * (5 if spec.hkyREV else 1), dtype))
+            # reference: with Mgene>=3 && fix_omega only the LAST
+            # partition's omega is fixed (codeml.c:2425 comment)
+            fixed_here = spec.fix_omega and (not per_rates
+                                             or gset == nsets - 1)
+            if fixed_here:
+                oms.append(jnp.asarray(spec.omega, dtype))
+            else:
+                oms.append(x[k])
+                k += 1
+        return t, rgene, kaps, oms
+
+    def neg_lnl(x):
+        x = x.astype(dtype)
+        t, rgene, kaps, oms = unpack(x)
+        tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
+        total = jnp.asarray(0.0, dtype)
+        for g in range(G):
+            gset = g if per_rates else 0
+            kap, om = kaps[gset], oms[gset]
+            s = codonmod.mutation_part(
+                graph, kap if spec.hkyREV else kap[0], pfs[g],
+                spec.hkyREV, dtype)
+            Q = codonmod.build_Q(graph, s, om, pis[g])
+            mr = codonmod.mean_rate(graph, s, om, pis[g])
+            P = pmat_rev(Q, pis[g], (tfull * rgene[g] / mr)[:, None])
+            piC = jnp.broadcast_to(pis[g], (1, graph.n))
+            total = total + pruning.lnL(P, tips_g[g], topo, piC,
+                                        jnp.ones((1,), dtype), fpatt_g[g])
+        return -total
+
+    t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
+    if not (t0 > 0).any():
+        t0 = np.full(nb, 0.1)
+    t0 = np.maximum(t0, BLEN_MIN * 2)
+    x0 = list(t0) + [1.0] * nrgene
+    bounds = ([(BLEN_MIN, BLEN_MAX)] * nb + [(0.01, 99.0)] * nrgene)
+    for gset in range(nsets):
+        x0 += [spec.kappa] * nkappa1
+        bounds += [(KAPPA_MIN, KAPPA_MAX)] * nkappa1
+        fixed_here = spec.fix_omega and (not per_rates
+                                         or gset == nsets - 1)
+        if not fixed_here:
+            x0 += [spec.omega]
+            bounds += [(OMEGA_MIN, OMEGA_MAX)]
+    return neg_lnl, unpack, np.array(x0), bounds, [np.asarray(p)
+                                                   for p in pis]
+
+
+def gene_slice(data: seqio.PackedData, g: int) -> seqio.PackedData:
+    """Single-gene view of a multi-gene PackedData (reference:
+    MultipleGenes' in-place pointer shuffle, src/treesub.c:5170)."""
+    import dataclasses
+    sl = data.gene_slice(g)
+    lg = (int(data.lgene[g]) if data.lgene is not None
+          else int(np.asarray(data.fpatt[sl]).sum()))
+    return dataclasses.replace(
+        data, tip_partials=data.tip_partials[:, sl],
+        fpatt=data.fpatt[sl], ls=lg, ngene=1,
+        posG=np.array([0, sl.stop - sl.start]),
+        pos_masks=(data.pos_masks[:, sl] if data.pos_masks is not None
+                   else None),
+        site_pattern=None, pattern_site=None, lgene=None)
+
+
+def fit_mgene_separate(data: seqio.PackedData, topo: Topology,
+                       spec: CodemlSpec,
+                       dtype=jnp.float64) -> list[CodemlResult]:
+    """Mgene = 1: independent fit per gene (reference: MultipleGenes,
+    src/treesub.c:5170)."""
+    return [fit_packed(gene_slice(data, g), topo, spec, dtype)
+            for g in range(data.ngene)]
+
+
+def fit_codon_mgene(data: seqio.PackedData, topo: Topology,
+                    spec: CodemlSpec, Mgene: int,
+                    dtype=jnp.float64) -> CodemlResult:
+    neg_lnl, unpack, x0, bounds, pis = make_codon_mgene_objective(
+        data, topo, spec, Mgene, dtype)
+    res = maximize(neg_lnl, x0, bounds)
+    t, rgene, kaps, oms = unpack(jnp.asarray(res.x))
+    return CodemlResult(
+        lnL=res.lnL, np=len(res.x), blens=np.asarray(t),
+        branch_nodes=topo.branch_nodes(),
+        kappa=np.asarray([float(k[0]) for k in kaps]),
+        params={"rgene": np.asarray(rgene),
+                "omegas": np.asarray([float(o) for o in oms])},
+        pi=pis[0], topo=topo, fit=res, x=np.asarray(res.x), spec=spec)
+
+
 def standard_errors(neg_lnl, x) -> np.ndarray:
     """SEs of the MLEs from the observed information matrix (autodiff
     Hessian of -lnL; replaces the reference's finite-difference Hessian /
@@ -1016,8 +1189,15 @@ def fit(seqfile: str, treefile: str, spec: CodemlSpec | None = None,
 
 def fit_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
                dtype=jnp.float64) -> CodemlResult:
+    if spec.seqtype in (2, 3):
+        return fit_aa_packed(data, topo, spec, dtype)
     if spec.aaDist:
         return _fit_aadist(data, topo, spec, dtype)
+    if data.ngene > 1 and spec.Mgene != 1:
+        if spec.model or spec.NSsites:
+            raise ValueError("Mgene>0 with branch/NSsites models is not "
+                             "supported (the reference zerrors too)")
+        return fit_codon_mgene(data, topo, spec, spec.Mgene, dtype)
     neg_lnl, unpack, classes_for, x0, bounds, pi_np = \
         make_codon_objective(data, topo, spec, dtype)
     multi = None
@@ -1082,6 +1262,19 @@ def fit_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
             s = x0.copy()
             s[-nth:] = th
             multi.append(s)
+    elif spec.clock == 2:
+        # local-clock rate classes sit on a (duration x rate) ridge; spread
+        # rate starts so the optimizer can reach a boundary optimum
+        # (reference rateb upper bound 999, SetxBound)
+        from ..core.clockparam import make_clock_times
+        _, n_time_ck, _, _, cinfo = make_clock_times(topo, 2)
+        ncls = cinfo["n_rate_cls"]
+        if ncls:
+            multi = []
+            for rv in (30.0, 300.0, 999.0):
+                s = x0.copy()
+                s[n_time_ck - ncls:n_time_ck] = rv
+                multi.append(s)
     elif spec.NSsites == M2A and spec.model == 2:
         # branch-site A: vary the class proportions and foreground omega
         base_th = ([1.0, 0.5, 0.2] + ([] if spec.fix_omega else [2.0]))

@@ -241,7 +241,6 @@ def bayes_pairwise_codon(data: seqio.PackedData, codonf: str = "F3x4",
     a_t, b_t, a_w, b_w = (float(v) for v in hyperpar)
     glnodes, glweights = np.polynomial.legendre.leggauss(npoints)
     zq = jnp.asarray(glnodes)
-    wq = jnp.asarray(glweights)
 
     import math
     lg_t = a_t * math.log(b_t) - math.lgamma(a_t)
@@ -293,7 +292,23 @@ def bayes_pairwise_codon(data: seqio.PackedData, codonf: str = "F3x4",
                 return -(loglik_tw(x[0], kapj, x[1])
                          + logprior(x[0], x[1]))
 
-            moderate = (0.001 < t_ml < 10 and 0.005 < w_ml < 5
+            # NG86 proportions of synonymous/nonsynonymous differences for
+            # the saturation gate (reference requires 0 < pS < 0.74 and
+            # 0 < pN < 0.74 before the MLE-centered grid, codeml.c:4645)
+            from .yn00 import _path_tables, _tables
+            Tt, PTt = _tables(icode), _path_tables(icode)
+            nd_s = PTt["ng_sd"][a, b] @ w
+            nd_n = PTt["ng_nd"][a, b] @ w
+            Sng = ((Tt["ng_syn"][a] + Tt["ng_syn"][b]) * 3.0 / 18.0) @ w
+            Nng = (3.0 * (1 - (Tt["ng_nstop"][a] + Tt["ng_nstop"][b])
+                          / 18.0)) @ w - Sng
+            y_ng = w.sum() * 3.0 / max(Sng + Nng, 1e-300)
+            Sng, Nng = Sng * y_ng, Nng * y_ng
+            pS = nd_s / Sng if Sng > 0 else 0.0
+            pN = nd_n / Nng if Nng > 0 else 0.0
+
+            moderate = (0 < pS < 0.74 and 0 < pN < 0.74
+                        and 0.001 < t_ml < 10 and 0.005 < w_ml < 5
                         and not identical)
             if moderate:
                 tc, wc = t_ml, w_ml
@@ -307,8 +322,16 @@ def bayes_pairwise_codon(data: seqio.PackedData, codonf: str = "F3x4",
                 tc, wc = (float(v) for v in rmap.x)
                 H = jax.hessian(neg_logpost)(jnp.asarray([tc, wc]))
             H = np.asarray(H, dtype=np.float64)
-            cov = np.linalg.inv(H) if np.linalg.det(H) > 0 else \
-                np.diag(1.0 / np.maximum(np.diag(H), 1e-8))
+            # positive-definiteness needs H[0,0] > 0 as well as det > 0
+            # (a negative-definite 2x2 also has det > 0); unusable
+            # curvature falls back to unit scales (reference var>0 && det>0
+            # check, codeml.c:4678)
+            if np.linalg.det(H) > 0 and H[0, 0] > 0:
+                cov = np.linalg.inv(H)
+            else:
+                d = np.diag(H)
+                cov = np.diag(np.where(d > 1e-8, 1.0 / np.maximum(d, 1e-8),
+                                       1.0))
             var_t = max(float(cov[0, 0]), 1e-10)
             var_w = max(float(cov[1, 1]), 1e-10)
 
@@ -325,11 +348,12 @@ def bayes_pairwise_codon(data: seqio.PackedData, codonf: str = "F3x4",
             u = ((1 - alpha) * zq + 1 + alpha) / 2.0
             wp_vals = _logistic_values(u, m2, s2)            # [nw]
 
+            s_grid = codonmod.mutation_part(graph, kapj, pf3x4)
+
             def grid_logpost(w_axis):
                 def one_w(om):
-                    s = codonmod.mutation_part(graph, kapj, pf3x4)
-                    Q = codonmod.build_Q(graph, s, om, pi)
-                    mr = codonmod.mean_rate(graph, s, om, pi)
+                    Q = codonmod.build_Q(graph, s_grid, om, pi)
+                    mr = codonmod.mean_rate(graph, s_grid, om, pi)
                     P = pmat_rev(Q / mr, pi, t_vals)          # [nt, n, n]
                     lp = (logpi[aj][None, :]
                           + jnp.log(jnp.maximum(P[:, aj, bj], 1e-300)))
@@ -338,7 +362,11 @@ def bayes_pairwise_codon(data: seqio.PackedData, codonf: str = "F3x4",
                 return jax.vmap(one_w)(w_axis)                # [nw, nt]
 
             lpost = np.asarray(grid_logpost(w_vals))
-            lref = lpost.max()
+            if not np.isfinite(lpost).any():
+                raise FloatingPointError(
+                    f"BayesPairwise: non-finite posterior grid for pair "
+                    f"({i + 1}, {j + 1}); data may be saturated")
+            lref = lpost[np.isfinite(lpost)].max()
             jac = (np.asarray(2 * t_vals * s1)[None, :]
                    * np.asarray(2 * w_vals * s2)[:, None]
                    / ((1 - glnodes ** 2)[None, :]
@@ -346,6 +374,10 @@ def bayes_pairwise_codon(data: seqio.PackedData, codonf: str = "F3x4",
             r = np.exp(lpost - lref) * jac
             wwq = np.outer(glweights, glweights)
             norm = float((wwq * r).sum())
+            if not (norm > 0 and np.isfinite(norm)):
+                raise FloatingPointError(
+                    f"BayesPairwise: posterior mass underflowed for pair "
+                    f"({i + 1}, {j + 1}); grid missed the posterior mode")
             tg = np.asarray(t_vals)[None, :]
             wg = np.asarray(w_vals)[:, None]
             E_w = float((wwq * r * wg).sum()) / norm
@@ -407,6 +439,11 @@ def sliding_window_codon(data: seqio.PackedData, wlen: int, offset: int,
     Requires exactly 2 sequences, clean data, one gene."""
     if data.ns != 2:
         raise ValueError("sliding window needs exactly 2 sequences")
+    if data.seqtype != 1:
+        raise ValueError("sliding window requires codon data (seqtype=1)")
+    if not getattr(data, "cleandata", True):
+        raise ValueError("sliding window requires cleandata=1 (the "
+                         "reference zerrors on ambiguous data)")
     if data.ngene > 1:
         raise ValueError("one gene only for sliding window analysis")
     if data.site_pattern is None:

@@ -18,6 +18,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# full f32 accuracy for the spectral reconstruction einsums: the TPU's
+# default matmul precision is bfloat16, which puts ~1e-3 absolute error
+# into P(t) — far outside likelihood tolerance
+_PREC = jax.lax.Precision.HIGHEST
+
 # ---------------------------------------------------------------------------
 # generic reversible spectral kernel
 # ---------------------------------------------------------------------------
@@ -66,6 +71,17 @@ def _phi(mu_k: jnp.ndarray, mu_l: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(near, phi_near, phi_far)
 
 
+def _eigh_refined(S: jnp.ndarray):
+    """Symmetric eigendecomposition.
+
+    The TPU f32 eigh reconstructs 61-state codon matrices to ~2e-7 —
+    adequate; the dominant TPU-vs-CPU numerics gap was the bf16 default
+    matmul precision in the reconstruction einsums (now pinned to
+    HIGHEST).  Hook kept as the single place to add iterative refinement
+    if a harder Q family ever needs it."""
+    return jnp.linalg.eigh(S)
+
+
 @jax.custom_jvp
 def pmat_rev(Q: jnp.ndarray, pi: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """P(t) for a reversible rate matrix.
@@ -74,11 +90,11 @@ def pmat_rev(Q: jnp.ndarray, pi: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     Returns [..., n, n].  P = D^{-1/2} U exp(Lam t) U^T D^{1/2}.
     """
     S, sqp, _ = _sym_parts(Q, pi)
-    lam, U = jnp.linalg.eigh(S)
+    lam, U = _eigh_refined(S)
     L = U / sqp[:, None]              # [n, k]
     R = U.T * sqp[None, :]            # [k, n]
     e = jnp.exp(t[..., None] * lam)   # [..., k]
-    P = jnp.einsum("ik,...k,kj->...ij", L, e, R)
+    P = jnp.einsum("ik,...k,kj->...ij", L, e, R, precision=_PREC)
     return jnp.maximum(P, 0.0)
 
 
@@ -87,12 +103,12 @@ def _pmat_rev_jvp(primals, tangents):
     Q, pi, t = primals
     dQ, dpi, dt = tangents
     S, sqp, mask = _sym_parts(Q, pi)
-    lam, U = jnp.linalg.eigh(S)
+    lam, U = _eigh_refined(S)
     L = U / sqp[:, None]
     R = U.T * sqp[None, :]
     mu = t[..., None] * lam                       # [..., k]
     e = jnp.exp(mu)
-    P = jnp.einsum("ik,...k,kj->...ij", L, e, R)
+    P = jnp.einsum("ik,...k,kj->...ij", L, e, R, precision=_PREC)
 
     # dS from dQ and dpi:  S = D^{1/2} Q D^{-1/2} on the pi > 0 states
     dQ = jnp.zeros_like(Q) if isinstance(dQ, jax.custom_derivatives.SymbolicZero) else dQ
@@ -109,17 +125,17 @@ def _pmat_rev_jvp(primals, tangents):
     dS = 0.5 * (dS + dS.T)
 
     # tangent of expm(S t) in the eigenbasis (Daleckii-Krein)
-    G = U.T @ dS @ U                              # [k, l]
+    G = jnp.einsum("ki,ij,jl->kl", U.T, dS, U, precision=_PREC)  # [k, l]
     # dM = t*dS + dt*S  ->  eigen-coords: t*G + dt*diag(lam)
     Phi = _phi(mu[..., :, None], mu[..., None, :])        # [..., k, l]
     dM_eig = t[..., None, None] * G + dt[..., None, None] * jnp.diag(lam)
     dE = dM_eig * Phi                              # [..., k, l]
-    dP_core = jnp.einsum("ik,...kl,lj->...ij", L, dE, R)
+    dP_core = jnp.einsum("ik,...kl,lj->...ij", L, dE, R, precision=_PREC)
 
     # contributions from d(D^{-1/2}) and d(D^{1/2}):
     # P = D^{-1/2} E' D^{1/2} with E' = U e U^T
     dinvsqp = -dsqp / pi                           # d(1/sqrt(pi))
-    Ep = jnp.einsum("ik,...k,jk->...ij", U, e, U)
+    Ep = jnp.einsum("ik,...k,jk->...ij", U, e, U, precision=_PREC)
     dP_pi = (dinvsqp[:, None] * sqp[None, :] * Ep
              + (1.0 / sqp)[:, None] * dsqp[None, :] * Ep)
     # match the primal's max(P, 0) clip (otherwise the value under AD

@@ -47,9 +47,12 @@ from .topology import Topology
 
 # matmul precision for the pruning einsums.  On TPU, f32 matmuls are
 # synthesized from bfloat16 passes; "highest" (6 passes) gives full f32
-# accuracy, "float32" (3 passes) ~f32, "bfloat16" 1 pass.  lnL parity at
-# 1e-5 needs >= 3 passes; default to full accuracy.
-_PRECISION = jax.lax.Precision.HIGHEST
+# accuracy, "float32" (3 passes) ~f32, "bfloat16" 1 pass.  Measured on
+# codon workloads the 3-pass product is indistinguishable from 6-pass
+# (the residual TPU-vs-CPU lnL gap is set by other f32 ops), so 3-pass
+# is the default; bump with set_matmul_precision("highest") if a model
+# family ever shows matmul-limited accuracy.
+_PRECISION = jax.lax.Precision.HIGH
 
 
 def set_matmul_precision(p) -> None:
@@ -123,11 +126,22 @@ def _schedule(topo: Topology) -> tuple[np.ndarray, np.ndarray]:
 # product/rescale stages.
 
 
+def _is_state_tips(tips) -> bool:
+    """Integer [ns, H] state codes (clean data) instead of one-hot
+    [ns, H, n] partials?  State codes turn the tip einsum into a gather
+    of P columns and shrink tip storage n-fold."""
+    return jnp.asarray(tips).ndim == 2
+
+
 def _tip_contribs(P, tipsT, topo: Topology):
     """One einsum for every tip's upward contribution: [ns, C, n, H].
 
-    tipsT: [ns, n, H]."""
+    tipsT: [ns, n, H] transposed partials, or int states [ns, H]."""
     ns = topo.ns
+    if _is_state_tips(tipsT):
+        # ctip[t, c, j, h] = P[t, c, j, states[t, h]]
+        idx = tipsT[:, None, None, :]                      # [ns,1,1,H]
+        return jnp.take_along_axis(P[:ns], idx, axis=3)
     return jnp.einsum("tih,tcji->tcjh", tipsT, P[:ns], precision=_PRECISION)
 
 
@@ -169,21 +183,28 @@ def _forward_levels(P, tipsT, topo: Topology):
     return s, m
 
 
+def _tipsT_of(tips, dtype):
+    if _is_state_tips(tips):
+        return jnp.asarray(tips)
+    return jnp.swapaxes(jnp.asarray(tips).astype(dtype), -1, -2)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _class_site_lnf_lvl(P, tips, topo: Topology, pi):
-    tipsT = jnp.swapaxes(tips.astype(P.dtype), -1, -2)
+    tipsT = _tipsT_of(tips, P.dtype)
     s, m = _forward_levels(P, tipsT, topo)
     F = jnp.einsum("cnh,cn->ch", s[topo.root], pi)
     F = jnp.maximum(F, jnp.finfo(F.dtype).tiny)
-    return jnp.log(F) + sum(jnp.log(mv) for mv in m.values())
+    return jnp.log(F) + jnp.sum(jnp.log(jnp.stack(list(m.values()))),
+                                axis=0)
 
 
 def _lnf_lvl_fwd(P, tips, topo, pi):
-    tipsT = jnp.swapaxes(tips.astype(P.dtype), -1, -2)
+    tipsT = _tipsT_of(tips, P.dtype)
     s, m = _forward_levels(P, tipsT, topo)
     F = jnp.einsum("cnh,cn->ch", s[topo.root], pi)
     F = jnp.maximum(F, jnp.finfo(F.dtype).tiny)
-    logm = sum(jnp.log(mv) for mv in m.values())
+    logm = jnp.sum(jnp.log(jnp.stack(list(m.values()))), axis=0)
     lnf = jnp.log(F) + logm
     return lnf, (P, tipsT, s, m, F, pi)
 
@@ -193,8 +214,15 @@ def _lnf_lvl_bwd(topo, res, gbar):
     ns = topo.ns
     dtype = P.dtype
     C, n = P.shape[1], P.shape[3]
-    H = tipsT.shape[2]
+    state_tips = _is_state_tips(tipsT)
+    H = tipsT.shape[1] if state_tips else tipsT.shape[2]
     levels = _levels(topo)
+
+    def tip_onehotT(k):
+        """[n, H] one-hot (materialized lazily for state-coded tips)."""
+        if state_tips:
+            return jax.nn.one_hot(tipsT[k], n, axis=0, dtype=dtype)
+        return tipsT[k]
 
     # recompute all contributions (cheaper than storing them): tips in one
     # einsum; internal nodes in one einsum (they only depend on stored s).
@@ -236,7 +264,7 @@ def _lnf_lvl_bwd(topo, res, gbar):
                                         neginf=-cap), -cap, cap)
             kidflat = [k for _, kids in grp for k in kids]
             U = jnp.stack([
-                (jnp.broadcast_to(tipsT[k][None], (C, n, H))
+                (jnp.broadcast_to(tip_onehotT(k)[None], (C, n, H))
                  if k < ns else s[k]) for k in kidflat])
             U = U.reshape(W, K, C, n, H)
             dPk = jnp.einsum("wkcjh,wkcih->wkcji", G, U,
@@ -255,10 +283,158 @@ def _lnf_lvl_bwd(topo, res, gbar):
     big = 1e30
     dP_all = jnp.nan_to_num(dP_all, nan=0.0, posinf=big, neginf=-big)
     dpi = jnp.nan_to_num(dpi, nan=0.0, posinf=big, neginf=-big)
-    return dP_all, jnp.zeros((tipsT.shape[0], H, n), tipsT.dtype), dpi
+    if state_tips:
+        dtips = np.zeros((ns, H), dtype=jax.dtypes.float0)
+    else:
+        dtips = jnp.zeros((ns, H, n), tipsT.dtype)
+    return dP_all, dtips, dpi
 
 
 _class_site_lnf_lvl.defvjp(_lnf_lvl_fwd, _lnf_lvl_bwd)
+
+
+# ---------------------------------------------------------------------------
+# wide level path (large trees): static-index gather/scatter on
+# consolidated buffers — O(1) ops per level instead of O(nodes), so
+# tracing stays cheap for thousands of taxa
+# ---------------------------------------------------------------------------
+
+_WIDE_NNODE = 320          # switch to the wide path above this many nodes
+
+
+def _wide_sched(topo: Topology):
+    """Per (level, arity) static index arrays: [(nodes [W], kids [W, K])]."""
+    cached = getattr(topo, "_wide_sched_cache", None)
+    if cached is not None:
+        return cached
+    out = []
+    for level in _levels(topo):
+        for K, grp in _arity_groups(level).items():
+            nodes = np.array([n for n, _ in grp], dtype=np.int32)
+            kids = np.array([k for _, k in grp],
+                            dtype=np.int32).reshape(len(grp), K)
+            out.append((nodes, kids))
+    topo._wide_sched_cache = out
+    return out
+
+
+def _forward_levels_wide(P, tipsT, topo: Topology):
+    """Wide upward sweep.  Returns (SBUF [nint,C,n,H] scaled partials by
+    node-ns, MBUF [nint,C,H] scale factors, logm [C,H])."""
+    ns, nint, nnode = topo.ns, topo.n_internal, topo.nnode
+    C, n = P.shape[1], P.shape[3]
+    H = tipsT.shape[-1]
+    dtype = P.dtype
+    ctip = _tip_contribs(P, tipsT, topo)                    # [ns,C,n,H]
+    CBUF = jnp.ones((nnode + 1, C, n, H), dtype)
+    CBUF = CBUF.at[:ns].set(ctip)
+    SBUF = jnp.zeros((nint, C, n, H), dtype)
+    MBUF = jnp.zeros((nint, C, H), dtype)
+    logm = jnp.zeros((C, H), dtype)
+    for nodes, kids in _wide_sched(topo):
+        U = CBUF[kids]                                      # [W,K,C,n,H]
+        prod = U[:, 0]
+        for k in range(1, kids.shape[1]):
+            prod = prod * U[:, k]
+        mm = jnp.max(prod, axis=-2)                         # [W,C,H]
+        msafe = jnp.where(mm > 0, mm, 1.0)
+        sv = prod / msafe[..., None, :]
+        logm = logm + jnp.sum(jnp.log(msafe), axis=0)
+        cv = jnp.einsum("wcih,wcji->wcjh", sv, P[nodes],
+                        precision=_PRECISION)
+        CBUF = CBUF.at[nodes].set(cv)
+        SBUF = SBUF.at[nodes - ns].set(sv)
+        MBUF = MBUF.at[nodes - ns].set(msafe)
+    return SBUF, MBUF, logm
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _class_site_lnf_wide(P, tips, topo: Topology, pi):
+    SBUF, _, logm = _forward_levels_wide(P, _tipsT_of(tips, P.dtype), topo)
+    F = jnp.einsum("cnh,cn->ch", SBUF[topo.root - topo.ns], pi)
+    F = jnp.maximum(F, jnp.finfo(F.dtype).tiny)
+    return jnp.log(F) + logm
+
+
+def _lnf_wide_fwd(P, tips, topo, pi):
+    tipsT = _tipsT_of(tips, P.dtype)
+    SBUF, MBUF, logm = _forward_levels_wide(P, tipsT, topo)
+    F = jnp.einsum("cnh,cn->ch", SBUF[topo.root - topo.ns], pi)
+    F = jnp.maximum(F, jnp.finfo(F.dtype).tiny)
+    return jnp.log(F) + logm, (P, tipsT, SBUF, MBUF, F, pi)
+
+
+def _lnf_wide_bwd(topo, res, gbar):
+    P, tipsT, SBUF, MBUF, F, pi = res
+    ns, nint, nnode = topo.ns, topo.n_internal, topo.nnode
+    C, n = P.shape[1], P.shape[3]
+    dtype = P.dtype
+    state_tips = _is_state_tips(tipsT)
+    H = tipsT.shape[-1] if state_tips else tipsT.shape[2]
+    sched = _wide_sched(topo)
+
+    # recompute contributions: tips in one einsum; all internal non-root
+    # nodes in one einsum from the stored scaled partials
+    CBUF = jnp.ones((nnode + 1, C, n, H), dtype)
+    CBUF = CBUF.at[:ns].set(_tip_contribs(P, tipsT, topo))
+    int_nodes = np.array([v for v in range(ns, nnode) if v != topo.root],
+                         dtype=np.int32)
+    if len(int_nodes):
+        cv = jnp.einsum("wcih,wcji->wcjh", SBUF[int_nodes - ns],
+                        P[int_nodes], precision=_PRECISION)
+        CBUF = CBUF.at[int_nodes].set(cv)
+
+    # child partials (tips as one-hot) for the dP outer products
+    if state_tips:
+        tip1h = jax.nn.one_hot(tipsT, n, axis=-2, dtype=dtype)  # [ns,n,H]
+    else:
+        tip1h = tipsT
+    UEXT = jnp.zeros((nnode + 1, C, n, H), dtype)
+    UEXT = UEXT.at[:ns].set(jnp.broadcast_to(tip1h[:, None], (ns, C, n, H)))
+    UEXT = UEXT.at[ns:nnode].set(SBUF)
+
+    ABUF = jnp.zeros((nint, C, n, H), dtype)
+    ABUF = ABUF.at[topo.root - ns].set(
+        gbar[:, None, :] * pi[:, :, None] / F[:, None, :])
+    DPBUF = jnp.zeros((nnode, C, n, n), dtype)
+    cap = 1e12
+    for nodes, kids in reversed(sched):
+        K = kids.shape[1]
+        U = CBUF[kids]                                      # [W,K,C,n,H]
+        pre = [jnp.ones_like(U[:, 0])]
+        for k in range(1, K):
+            pre.append(pre[-1] * U[:, k - 1])
+        suf = [jnp.ones_like(U[:, 0])]
+        for k in range(K - 2, -1, -1):
+            suf.insert(0, suf[0] * U[:, k + 1])
+        loo = jnp.stack([pre[k] * suf[k] for k in range(K)], axis=1)
+        Av = ABUF[nodes - ns]                               # [W,C,n,H]
+        mv = MBUF[nodes - ns]                               # [W,C,H]
+        G = Av[:, None] * loo / mv[:, None, :, None, :]
+        G = jnp.clip(jnp.nan_to_num(G, nan=0.0, posinf=cap, neginf=-cap),
+                     -cap, cap)
+        Us = UEXT[kids]
+        dPk = jnp.einsum("wkcjh,wkcih->wkcji", G, Us, precision=_PRECISION)
+        DPBUF = DPBUF.at[kids].set(dPk)    # each child has one parent
+        Ak = jnp.einsum("wkcjh,wkcji->wkcih", G, P[kids],
+                        precision=_PRECISION)
+        int_kid = kids >= ns                                # static mask
+        if int_kid.any():
+            ABUF = ABUF.at[np.clip(kids - ns, 0, nint - 1)].add(
+                jnp.where(jnp.asarray(int_kid)[:, :, None, None, None],
+                          Ak, 0.0))
+    dpi = jnp.einsum("ch,cnh->cn", gbar / F, SBUF[topo.root - ns])
+    big = 1e30
+    dP_all = jnp.nan_to_num(DPBUF, nan=0.0, posinf=big, neginf=-big)
+    dpi = jnp.nan_to_num(dpi, nan=0.0, posinf=big, neginf=-big)
+    if state_tips:
+        dtips = np.zeros((ns, H), dtype=jax.dtypes.float0)
+    else:
+        dtips = jnp.zeros((ns, H, n), tipsT.dtype)
+    return dP_all, dtips, dpi
+
+
+_class_site_lnf_wide.defvjp(_lnf_wide_fwd, _lnf_wide_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -310,8 +486,7 @@ def root_partials(P: jnp.ndarray, tips: jnp.ndarray, topo: Topology):
     """Per-class root partials [C, H, n] and per-(class, pattern) log scale
     [C, H]."""
     if len(_levels(topo)) <= _MAX_UNROLL:
-        tipsT = jnp.swapaxes(tips.astype(P.dtype), -1, -2)
-        s, m = _forward_levels(P, tipsT, topo)
+        s, m = _forward_levels(P, _tipsT_of(tips, P.dtype), topo)
         logscale = sum(jnp.log(mv) for mv in m.values())
         return jnp.swapaxes(s[topo.root], -1, -2), logscale
     buf, ms = _forward_buffers(P, tips, topo)
@@ -416,11 +591,17 @@ _class_site_lnf_scan.defvjp(_lnf_scan_fwd, _lnf_scan_bwd)
 def class_site_lnf(P, tips, topo: Topology, pi):
     """Per-(class, pattern) log site likelihood [C, H].
 
-    pi: [C, n] per-class root frequencies.  Gradients w.r.t. P and pi via
-    the analytic adjoint; tips are treated as data (zero gradient).
+    tips: one-hot partials [ns, H, n] (f32/f64) or clean-data integer
+    state codes [ns, H].  pi: [C, n] per-class root frequencies.
+    Gradients w.r.t. P and pi via the analytic adjoint; tips are data
+    (zero gradient).
     """
     if len(_levels(topo)) <= _MAX_UNROLL:
+        if topo.nnode > _WIDE_NNODE:
+            return _class_site_lnf_wide(P, tips, topo, pi)
         return _class_site_lnf_lvl(P, tips, topo, pi)
+    if _is_state_tips(tips):
+        tips = jax.nn.one_hot(jnp.asarray(tips), P.shape[-1], dtype=P.dtype)
     return _class_site_lnf_scan(P, tips, topo, pi)
 
 
@@ -454,10 +635,13 @@ def lnL_chunked(P, tips, topo, pi, class_w, fpatt, n_chunks: int):
     zero-weight patterns contribute nothing).
     """
     ns, H = tips.shape[0], tips.shape[1]
-    n = tips.shape[2]
     assert H % n_chunks == 0, "pad patterns to a multiple of n_chunks"
     chunk = H // n_chunks
-    tips_c = jnp.moveaxis(tips.reshape(ns, n_chunks, chunk, n), 1, 0)
+    if _is_state_tips(tips):
+        tips_c = jnp.moveaxis(tips.reshape(ns, n_chunks, chunk), 1, 0)
+    else:
+        n = tips.shape[2]
+        tips_c = jnp.moveaxis(tips.reshape(ns, n_chunks, chunk, n), 1, 0)
     fpatt_c = fpatt.reshape(n_chunks, chunk)
 
     @jax.checkpoint

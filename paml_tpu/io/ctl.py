@@ -123,6 +123,7 @@ def codeml_spec(opts: dict, ctl_path: str):
         getSE=bool(int(_first_num(g("getSE", "0")))),
         hkyREV=bool(int(_first_num(g("hkyREV", "0")))),
         estFreq=bool(int(_first_num(g("estFreq", "0")))),
+        Mgene=int(_first_num(g("Mgene", "0"))),
     )
     if seqtype in (2, 3):
         names = {0: "Poisson", 1: "EqualInput", 2: "Empirical",

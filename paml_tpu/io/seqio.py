@@ -196,9 +196,12 @@ def _read_phylip(text: str, seqtype: int) -> Alignment:
     pos = 1
     ngene, site_gene, lgene = 1, None, None
     if coding:
-        # 'GC' on the header line: protein-coding DNA, 3 codon-position genes
-        ngene, site_gene = 3, np.arange(nunits) % 3
+        # 'GC' on the header line: protein-coding DNA, 3 codon-position
+        # genes — for NUCLEOTIDE analyses only; codon/AA readers ignore C
+        # (reference: ReadSeq, src/treesub.c:595-608 gates on seqtype==0)
         n_optlines -= 1
+        if seqtype == BASE_SEQ:
+            ngene, site_gene = 3, np.arange(nunits) % 3
 
     for _ in range(n_optlines):
         # option line: 'G ngene [len1 len2 ...]'

@@ -108,7 +108,22 @@ def count_codon_freqs(tip_partials: np.ndarray, fpatt: np.ndarray,
     reference's 20-round iteration (InitializeCodon + AddCodonFreqSeqGene,
     src/codeml.c:3798-3768): each ambiguous codon's count is distributed
     over its compatible sense codons (resp. bases) in proportion to the
-    current frequency estimates."""
+    current frequency estimates.
+
+    tip_partials may also be integer state codes [ns, H] (clean data)."""
+    tip_partials = np.asarray(tip_partials)
+    if tip_partials.ndim == 2:
+        ns = tip_partials.shape[0]
+        fcodon = np.bincount(tip_partials.reshape(-1),
+                             weights=np.tile(np.asarray(fpatt, float), ns),
+                             minlength=graph.n)
+        fcodon = fcodon / max(fcodon.sum(), 1e-300)
+        f3 = np.zeros((3, 4))
+        for p in range(3):
+            for b in range(4):
+                f3[p, b] = fcodon[graph.pos_nt[:, p] == b].sum()
+        f1 = f3.mean(0)
+        return (fcodon, f3 / f3.sum(1, keepdims=True), f1 / f1.sum())
     resolved = tip_partials.sum(-1) == 1
     w = tip_partials * (resolved[..., None] * fpatt[None, :, None])
     fcodon = w.sum((0, 1))
