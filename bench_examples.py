@@ -1,0 +1,247 @@
+"""Wall-time-to-converged-lnL on the BASELINE.json example configurations.
+
+Runs the five benchmark configurations from BASELINE.md on this machine,
+for BOTH this framework and (when available at /tmp/pamlbuild) the
+reference C binaries, and writes BENCH_EXAMPLES.json:
+
+  1. baseml JC69 + K80 on examples/brown.nuc (7 taxa, 895 sites)
+  2. baseml GTR(REV)+G5 on examples/horai.nuc
+  3. codeml M0 (F3x4) on examples/abglobin.nuc
+  4. codeml NSsites M1a/M2a/M7/M8 + branch-site A on examples/lysozyme
+  5. mcmctree approximate-likelihood dating on examples/DatingSoftBound
+     (usedata=2 via autodiff in.BV; chain throughput iterations/s)
+
+Each row records wall seconds, lnL, and the objective-evaluation counter
+(the NFunCall analog, reference src/codeml.c:770) for parity-of-effort.
+
+Usage: python bench_examples.py [--no-reference]
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REF = "/root/reference/examples"
+REFBIN = "/tmp/pamlbuild/src"
+
+
+def _setup_jax():
+    import jax
+    # wall-time comparison vs the single-threaded C reference is run on
+    # the host CPU (x64); bench.py covers the TPU chip numbers
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+
+def _ours_baseml(model, seqfile, treefile, **kw):
+    _setup_jax()
+    from paml_tpu.apps import baseml
+    t0 = time.perf_counter()
+    spec = baseml.BasemlSpec(model=model, cleandata=True, **kw)
+    res = baseml.fit(f"{REF}/{seqfile}", f"{REF}/{treefile}", spec)
+    return dict(wall_s=round(time.perf_counter() - t0, 2),
+                lnL=round(res.lnL, 6), n_eval=res.fit.n_eval)
+
+
+def _ours_codeml(seqfile, treefile, tree_index=0, **kw):
+    _setup_jax()
+    from paml_tpu.apps import codeml
+    from paml_tpu.core.topology import from_treenode
+    from paml_tpu.io import seqio, treeio
+    t0 = time.perf_counter()
+    aln = seqio.read_alignment(f"{REF}/{seqfile}", 1)
+    data = seqio.pack(aln, cleandata=True, icode=kw.pop("icode", 0))
+    trees = treeio.read_trees(f"{REF}/{treefile}", data.names)
+    topo = from_treenode(trees[tree_index], data.names)
+    spec = codeml.CodemlSpec(cleandata=True, **kw)
+    res = codeml.fit_packed(data, topo, spec)
+    return dict(wall_s=round(time.perf_counter() - t0, 2),
+                lnL=round(res.lnL, 6), n_eval=res.fit.n_eval)
+
+
+def _ref_run(prog, ctl_text, grab="lnL"):
+    if not os.path.exists(f"{REFBIN}/{prog}"):
+        return None
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/run.ctl", "w") as f:
+            f.write(ctl_text)
+        t0 = time.perf_counter()
+        try:
+            subprocess.run([f"{REFBIN}/{prog}", "run.ctl"], cwd=d,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL, timeout=3600,
+                           check=True)
+        except Exception as e:
+            return dict(error=str(e))
+        wall = time.perf_counter() - t0
+        outf = ("mlc" if prog == "codeml" else "mlb")
+        lnl = None
+        try:
+            for line in open(f"{d}/{outf}"):
+                if line.startswith("lnL"):
+                    lnl = float(line.split(":")[-1].split()[0])
+                    break
+        except OSError:
+            pass
+        return dict(wall_s=round(wall, 2), lnL=lnl)
+
+
+BASEML_CTL = """seqfile = {seq}
+treefile = {tree}
+outfile = mlb
+noisy = 0
+runmode = 0
+model = {model}
+Mgene = 0
+clock = 0
+fix_kappa = 0
+kappa = 5
+fix_alpha = {fix_alpha}
+alpha = {alpha}
+ncatG = {ncatG}
+nparK = 0
+nhomo = 0
+getSE = 0
+RateAncestor = 0
+Small_Diff = 7e-6
+cleandata = 1
+method = 0
+"""
+
+CODEML_CTL = """seqfile = {seq}
+treefile = {tree}
+outfile = mlc
+noisy = 0
+runmode = 0
+seqtype = 1
+CodonFreq = 2
+clock = 0
+model = {model}
+NSsites = {nssites}
+icode = 0
+fix_kappa = 0
+kappa = 2
+fix_omega = 0
+omega = .4
+fix_alpha = 1
+alpha = 0
+ncatG = {ncatG}
+getSE = 0
+RateAncestor = 0
+Small_Diff = .5e-6
+cleandata = 1
+method = 0
+"""
+
+
+def main():
+    with_ref = "--no-reference" not in sys.argv
+    out = {}
+
+    # 1. brown JC69 + K80
+    for m, mi in (("JC69", 0), ("K80", 1)):
+        row = {"ours": _ours_baseml(m, "brown.nuc", "brown.trees")}
+        if with_ref:
+            row["reference"] = _ref_run("baseml", BASEML_CTL.format(
+                seq=f"{REF}/brown.nuc", tree=f"{REF}/brown.trees",
+                model=mi, fix_alpha=1, alpha=0, ncatG=1))
+        out[f"baseml_{m}_brown"] = row
+        print(f"baseml {m} brown: {row}", flush=True)
+
+    # 2. horai GTR + G5
+    row = {"ours": _ours_baseml("REV", "horai.nuc", "horai.trees",
+                                fix_alpha=False, alpha=0.5, ncatG=5)}
+    if with_ref:
+        row["reference"] = _ref_run("baseml", BASEML_CTL.format(
+            seq=f"{REF}/horai.nuc", tree=f"{REF}/horai.trees",
+            model=7, fix_alpha=0, alpha=0.5, ncatG=5))
+    out["baseml_GTRG5_horai"] = row
+    print(f"baseml GTR+G5 horai: {row}", flush=True)
+
+    # 3. abglobin codon M0
+    row = {"ours": _ours_codeml("abglobin.nuc", "abglobin.trees")}
+    if with_ref:
+        row["reference"] = _ref_run("codeml", CODEML_CTL.format(
+            seq=f"{REF}/abglobin.nuc", tree=f"{REF}/abglobin.trees",
+            model=0, nssites=0, ncatG=3))
+    out["codeml_M0_abglobin"] = row
+    print(f"codeml M0 abglobin: {row}", flush=True)
+
+    # 4. lysozyme NSsites suite + branch-site A
+    for ns, ncatg, name in ((1, 3, "M1a"), (2, 3, "M2a"),
+                            (7, 10, "M7"), (8, 10, "M8")):
+        row = {"ours": _ours_codeml("lysozyme/lysozymeSmall.txt",
+                                    "lysozyme/lysozymeSmall.trees",
+                                    NSsites=ns, ncatG=ncatg, omega=0.5)}
+        if with_ref:
+            row["reference"] = _ref_run("codeml", CODEML_CTL.format(
+                seq=f"{REF}/lysozyme/lysozymeSmall.txt",
+                tree=f"{REF}/lysozyme/lysozymeSmall.trees",
+                model=0, nssites=ns, ncatG=ncatg))
+        out[f"codeml_{name}_lysozyme"] = row
+        print(f"codeml {name} lysozyme: {row}", flush=True)
+    row = {"ours": _ours_codeml("lysozyme/lysozymeSmall.txt",
+                                "lysozyme/lysozymeSmall.trees",
+                                tree_index=1, model=2, NSsites=2,
+                                omega=1.5)}
+    if with_ref:
+        # the reference needs a tree file holding only the labeled tree
+        from paml_tpu.io import treeio as _tio
+        lines = open(f"{REF}/lysozyme/lysozymeSmall.trees").read()
+        trees_txt = [t[t.index("("):] + ";" for t in lines.split(";")
+                     if "(" in t]
+        with tempfile.NamedTemporaryFile("w", suffix=".trees",
+                                         delete=False) as tf:
+            tf.write(" 7 1\n" + trees_txt[1] + "\n")
+            tpath = tf.name
+        row["reference"] = _ref_run("codeml", CODEML_CTL.format(
+            seq=f"{REF}/lysozyme/lysozymeSmall.txt",
+            tree=tpath, model=2, nssites=2, ncatG=3))
+        os.unlink(tpath)
+    out["codeml_branchsiteA_lysozyme"] = row
+    print(f"codeml branch-site A lysozyme: {row}", flush=True)
+
+    # 5. DatingSoftBound approximate-likelihood dating throughput
+    _setup_jax()
+    from paml_tpu.io import ctl as ctlmod
+    from paml_tpu.apps.mcmctree import run_ctl
+    src = f"{REF}/DatingSoftBound"
+    with tempfile.TemporaryDirectory() as d:
+        text = open(f"{src}/mcmctree.ctl").read()
+        text = text.replace("= mtCDNApri123.txt",
+                            f"= {src}/mtCDNApri123.txt")
+        text = text.replace("= mtCDNApri.trees",
+                            f"= {src}/mtCDNApri.trees")
+        ctl = f"{d}/mcmctree.ctl"
+        open(ctl, "w").write(text)
+        cwd = os.getcwd()
+        os.chdir(d)
+        try:
+            opts = ctlmod.read_ctl(ctl)
+            opts["usedata"] = "2"
+            opts["burnin"] = "500"
+            opts["nsample"] = "2000"
+            opts["sampfreq"] = "2"
+            t0 = time.perf_counter()
+            run_ctl(opts, ctl, progress=False)
+            wall = time.perf_counter() - t0
+        finally:
+            os.chdir(cwd)
+        its = 500 + 2 * 2000
+        out["mcmctree_approx_DatingSoftBound"] = {
+            "ours": dict(wall_s=round(wall, 2),
+                         iterations=its,
+                         it_per_s=round(its / wall, 2))}
+        print("mcmctree approx DatingSoftBound:",
+              out["mcmctree_approx_DatingSoftBound"], flush=True)
+
+    with open("BENCH_EXAMPLES.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote BENCH_EXAMPLES.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -82,9 +82,19 @@ def run_baseml(ctl_path: str) -> None:
                           + " ".join(f"{v:.5f}" for v in res.SEs) + "\n")
         print(f"lnL = {res.lnL:.6f}; results written to {outfile}")
         return
+    import numpy as np
+
+    from .io.outputs import (write_lnf, write_rates, write_rst1,
+                             write_rst_ancestral)
+
     aln = seqio.read_alignment(seqfile, seqio.BASE_SEQ)
     data = seqio.pack(aln, cleandata=spec.cleandata)
     trees = treeio.read_trees(treefile, data.names)
+    rate_ancestor = extras.get("RateAncestor", 0)
+    site_lnf_trees = []
+    open("rst1", "w").close()
+    frst = open("rst", "w")
+    frst.write(f"Supplemental results for BASEML (paml_tpu): {seqfile}\n")
     with open(outfile, "w") as out:
         out.write(f"BASEML (paml_tpu) {seqfile}  model {spec.model}\n")
         out.write(f"ns = {data.ns}  ls = {data.ls}  npatt = {data.npatt}\n")
@@ -107,7 +117,43 @@ def run_baseml(ctl_path: str) -> None:
                           + " ".join(f"{v:.5f}" for v in res.rgene) + "\n")
             if res.SEs is not None:
                 out.write("SEs: " + " ".join(f"{v:.6f}" for v in res.SEs) + "\n")
+            write_rst1("rst1", [res.lnL] + [float(v) for v in res.x],
+                       append=True)
+            # side outputs when the single-gene hooks exist
+            neg, unpack, x0b, bb = baseml.make_objective(data, topo, spec)
+            import jax.numpy as jnp
+            xj = jnp.asarray(res.x)
+            if hasattr(neg, "site_loglik"):
+                site_lnf_trees.append(np.asarray(neg.site_loglik(xj)))
+            if (rate_ancestor and hasattr(neg, "class_posterior")
+                    and itree == 0):
+                post, r, w = neg.class_posterior(xj)
+                if np.asarray(r).shape[0] > 1:
+                    write_rates("rates", 0, np.asarray(r), np.asarray(w),
+                                data.site_pattern, np.asarray(post),
+                                data.fpatt)
+                from .apps.ancestral import marginal_reconstruction
+                P, piC, w2, _ = neg.model_at(xj)
+                best, prob, _p = marginal_reconstruction(
+                    P, data.tip_partials, topo, piC, w2, data.fpatt)
+                letters = "TCAG"
+                node_ids = [i + 1 for i in range(topo.ns, topo.nnode)]
+                best_txt = [[letters[s] for s in row] for row in best]
+                write_rst_ancestral(frst, data.names, node_ids, best_txt,
+                                    prob, data.site_pattern)
             print(f"tree {itree + 1}: lnL = {res.lnL:.6f}")
+        if site_lnf_trees:
+            write_lnf("lnf", data.ls, data.fpatt, site_lnf_trees)
+        if len(site_lnf_trees) > 1:
+            from .apps.bootstrap import tree_comparison
+            stats = tree_comparison(np.stack(site_lnf_trees), data.fpatt)
+            out.write("\nTree comparison (RELL / KH / SH)\n")
+            out.write("tree    lnL-diff     pRELL      pKH      pSH\n")
+            for i in range(len(site_lnf_trees)):
+                out.write(f"{i + 1:4d} {stats['D'][i]:11.4f} "
+                          f"{stats['pRELL'][i]:9.4f} {stats['pKH'][i]:8.4f}"
+                          f" {stats['pSH'][i]:8.4f}\n")
+    frst.close()
     print(f"results written to {outfile}")
 
 
@@ -130,6 +176,30 @@ def run_codeml(ctl_path: str) -> None:
     spec, seqfile, treefile, outfile, extras = ctlmod.codeml_spec(opts, ctl_path)
     seqtype = (seqio.AA_SEQ if spec.seqtype == 2 else
                seqio.CODON2AA_SEQ if spec.seqtype == 3 else seqio.CODON_SEQ)
+    ndata = extras.get("ndata", 1)
+    if ndata > 1:
+        # multiple data sets stacked in one seqfile (reference: the ndata
+        # loop, src/codeml.c:372): run each and append ' dataset i' tags
+        alns = seqio.read_alignments(seqfile, seqtype, ndata)
+        for i, a in enumerate(alns):
+            print(f"\nData set {i + 1}")
+            d = seqio.pack(a, cleandata=spec.cleandata, icode=spec.icode)
+            trees_i = treeio.read_trees(treefile, d.names)
+            topo_i = from_treenode(trees_i[0], d.names)
+            res = (codeml.fit_aa_packed(d, topo_i, spec)
+                   if spec.seqtype in (2, 3)
+                   else codeml.fit_packed(d, topo_i, spec))
+            mode = "a" if i else "w"
+            with open(outfile, mode) as out:
+                out.write(f"\nData set {i + 1}\n")
+                out.write(f"lnL(ntime: {len(res.blens)}  np: {res.np}): "
+                          f"{res.lnL:.6f}\n")
+            from .io.outputs import write_rst1 as _w1
+            _w1("rst1", [i + 1, res.lnL] + [float(v) for v in res.x],
+                append=bool(i))
+            print(f"lnL = {res.lnL:.6f}")
+        print(f"results written to {outfile}")
+        return
     aln = seqio.read_alignment(seqfile, seqtype)
     data = seqio.pack(aln, cleandata=spec.cleandata, icode=spec.icode)
     trees = treeio.read_trees(treefile, data.names)
@@ -255,10 +325,31 @@ def run_yn00(ctl_path: str) -> None:
     from .apps import yn00
     from .io import ctl as ctlmod
 
+    import numpy as np
+
+    from .io.outputs import write_pairwise_matrix
+    from .io.seqio import read_alignment
+
     opts = ctlmod.yn00_opts(ctlmod.read_ctl(ctl_path), ctl_path)
     results = yn00.run(opts["seqfile"], icode=opts["icode"],
                        weighting=opts["weighting"],
                        common_f3x4=opts["common_f3x4"])
+    # 2YN./2NG. lower-triangle matrices (reference: src/yn00.c:141-167)
+    names = read_alignment(opts["seqfile"], 1).names
+    ns = len(names)
+    mats = {k: np.zeros((ns, ns)) for k in
+            ("YN_dS", "YN_dN", "YN_t", "NG_dS", "NG_dN", "NG_t")}
+    for r in results:
+        mats["YN_dS"][r.i, r.j] = mats["YN_dS"][r.j, r.i] = r.dS
+        mats["YN_dN"][r.i, r.j] = mats["YN_dN"][r.j, r.i] = r.dN
+        mats["YN_t"][r.i, r.j] = mats["YN_t"][r.j, r.i] = r.t
+        mats["NG_dS"][r.i, r.j] = mats["NG_dS"][r.j, r.i] = r.ng_dS
+        mats["NG_dN"][r.i, r.j] = mats["NG_dN"][r.j, r.i] = r.ng_dN
+        mats["NG_t"][r.i, r.j] = mats["NG_t"][r.j, r.i] = \
+            getattr(r, "ng_t", 0.0)
+    for pre, tag in (("2YN", "YN"), ("2NG", "NG")):
+        for q in ("dS", "dN", "t"):
+            write_pairwise_matrix(f"{pre}.{q}", names, mats[f"{tag}_{q}"])
     with open(opts["outfile"], "w") as out:
         out.write("YN00 (paml_tpu)\n\n")
         out.write("Nei & Gojobori 1986. dN/dS (dN, dS)\n")

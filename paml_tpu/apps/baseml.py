@@ -13,6 +13,7 @@ parameters; Mgene=4 both; Mgene=1 fully separate analyses per gene.
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import jax
@@ -405,22 +406,46 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
         return -total
 
     def _neg_lnl_ratehmm(x, tfull, rates, alpha):
-        """AdG rate HMM over sites, or nparK free-rate mixtures
-        (reference: lfunAdG src/treesub.c:7447; nparK SetParameters)."""
+        """AdG rate HMM over sites, or nparK free-rate models: 1 rK,
+        2 rK+fK, 3 rK+MK (doubly stochastic), 4 rK+MK free rows
+        (reference: lfunAdG src/treesub.c:7447; SetParameters nparK arms
+        src/baseml.c:1392-1424)."""
         from ..core.hmm import autod_gamma, hmm_lnL
         from ..core.optim import simplex_decode
+        n_mk = ((K - 1) * (K - 1) if nparK == 3
+                else K * (K - 1) if nparK == 4 else 0)
+        n_npark = ((K - 1) + (K - 1 if nparK == 2 else 0) + n_mk
+                   if nparK else 0)
         k = x.shape[0] - (1 if est_rho else 0) - (1 if est_alpha else 0) \
-            - (2 * (K - 1) if nparK == 2 else (K - 1) if nparK else 0)
+            - n_npark
         pig = jnp.asarray(pi_g[0], dtype)
         if nparK:
             rfree = x[k:k + K - 1]
+            kk = k + K - 1
+            M = None
             if nparK == 2:
-                w = simplex_decode(x[k + K - 1:k + 2 * (K - 1)])
+                w = simplex_decode(x[kk:kk + K - 1])
+            elif nparK >= 3:
+                nrow = K - 1 if nparK == 3 else K
+                rows = [simplex_decode(x[kk + i * (K - 1):
+                                         kk + (i + 1) * (K - 1)])
+                        for i in range(nrow)]
+                if nparK == 3:
+                    # doubly stochastic: last row = 1 - column sums
+                    Mtop = jnp.stack(rows)                  # [K-1, K]
+                    last = 1.0 - jnp.sum(Mtop, axis=0)
+                    M = jnp.concatenate([Mtop, last[None, :]])
+                    w = jnp.full((K,), 1.0 / K, dtype)
+                else:
+                    M = jnp.stack(rows)                     # [K, K]
+                    # stationary distribution (reference: PtoPi)
+                    A = (M.T - jnp.eye(K, dtype=dtype)).at[K - 1].set(1.0)
+                    bvec = jnp.zeros((K,), dtype).at[K - 1].set(1.0)
+                    w = jnp.linalg.solve(A, bvec)
             else:
                 w = jnp.full((K,), 1.0 / K, dtype)
             rlast = (1.0 - jnp.sum(w[:K - 1] * rfree)) / w[K - 1]
             r = jnp.concatenate([rfree, jnp.maximum(rlast, 1e-6)[None]])
-            M = None
         else:
             a_g = alpha[0]
             rho_v = x[-1] if est_rho else jnp.asarray(spec.rho, dtype)
@@ -429,7 +454,8 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
         P, pi_root = nuc.pmats_for_model(model, rates, pig, ts, step)
         piC = jnp.broadcast_to(pi_root, (K, 4))
         lnf = pruning.class_site_lnf(P, tips_g[0], topo, piC)   # [K, H]
-        if nparK:
+        if nparK in (1, 2):
+            # iid rate classes (reference plfun = lfundG)
             lnf_c = lnf + jnp.log(w)[:, None]
             site_ln = jax.scipy.special.logsumexp(lnf_c, axis=0)
             return -jnp.sum(fpatt_g[0] * site_ln)
@@ -481,6 +507,10 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
         if nparK == 2:
             x0 += [0.0] * (K - 1)
             bounds += [(-19.0, 9.0)] * (K - 1)
+        elif nparK in (3, 4):
+            nrow = K - 1 if nparK == 3 else K
+            x0 += [0.0] * (nrow * (K - 1))
+            bounds += [(-19.0, 9.0)] * (nrow * (K - 1))
     if est_rho:
         x0.append(spec.rho if spec.rho > 0 else 0.3)
         bounds.append((-0.2, 0.99))
@@ -522,6 +552,56 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     return neg_lnl, unpack, np.array(x0), bounds
 
 
+def rho_rate(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
+             x) -> dict:
+    """Continuous-gamma rate factors per site pattern and the rate
+    'correlation' diagnostics (reference: RhoRate, src/basemlg.c:451,
+    Yang & Wang).  Returns posterior-mean rates per pattern plus the
+    variance decomposition (Vr, Vr0, PEV, RHO) — the 'accurate' variant
+    enumerates all 4^ns patterns when ns < 8, else uses the observed
+    patterns with model weights."""
+    import dataclasses
+
+    spec_cg = dataclasses.replace(spec, continuous_gamma=True)
+    neg, unpack, x0, bounds = make_objective(data, topo, spec_cg)
+    xj = jnp.asarray(np.asarray(x, float))
+    _, _, _, alpha_v = unpack(xj)
+    alpha = float(np.asarray(alpha_v).reshape(-1)[0])
+    post, r, w = neg.class_posterior(xj)
+    post = np.asarray(post)
+    r = np.asarray(r)
+    rh = (r[:, None] * post).sum(0)                      # [H] E[r | pattern]
+    lnf = np.asarray(neg.site_loglik(xj))
+    fobs = np.asarray(data.fpatt, float)
+    ls = fobs.sum()
+    mrh0 = float((rh * fobs).sum() / ls)
+    vrh0 = float((rh ** 2 * fobs).sum() / ls) - mrh0 ** 2
+
+    ns = data.ns
+    if ns < 8:
+        # accurate: enumerate all 4^ns patterns
+        H = 4 ** ns
+        states = np.indices((4,) * ns).reshape(ns, H)
+        P, piC, wq, rq = neg.model_at(xj)
+        from ..core import pruning
+        lnf_all = np.asarray(pruning.class_site_lnf(
+            P, jnp.asarray(states.astype(np.int32)), topo, piC))
+        wlog = lnf_all + np.log(np.asarray(wq))[:, None]
+        m = wlog.max(0)
+        fh = np.exp(m) * np.exp(wlog - m).sum(0)         # [H]
+        posth = np.exp(wlog - m) / np.exp(wlog - m).sum(0)
+        rh_all = (np.asarray(rq)[:, None] * posth).sum(0)
+        vr = float((fh * rh_all ** 2).sum()) - 1.0
+    else:
+        fh = np.exp(lnf)
+        vr = float((fh * rh ** 2).sum()) - 1.0
+    return dict(rates=rh, lnf=lnf, alpha=alpha,
+                Vr=vr, Vr0=vrh0, mrh0=mrh0,
+                PEV=1.0 / alpha - vr, PEV0=1.0 / alpha - vrh0,
+                RHO=math.sqrt(max(vr, 0.0) * alpha),
+                RHO0=math.sqrt(max(vrh0, 0.0) * alpha))
+
+
 def fit(seqfile: str, treefile: str, spec: BasemlSpec | None = None,
         tree_index: int = 0, dtype=jnp.float64) -> BasemlResult:
     spec = spec or BasemlSpec()
@@ -539,16 +619,32 @@ def fit_packed(data: seqio.PackedData, topo: Topology,
     neg_lnl, unpack, x0, bounds = make_objective(data, topo, spec, dtype)
     multi = None
     if spec.nparK:
-        # free-rate mixtures are multimodal in the rate ordering
+        # free-rate mixtures / rate HMMs are multimodal in the rate
+        # ordering and (nparK >= 3) in the transition structure
         K = spec.ncatG
+        n_extra = {0: 0, 1: 0, 2: K - 1, 3: (K - 1) * (K - 1),
+                   4: K * (K - 1)}[spec.nparK]
+        off = len(x0) - (K - 1) - n_extra
         multi = []
         for rr in (np.linspace(0.05, 0.8, K - 1),
                    np.linspace(0.8, 3.0, K - 1),
-                   np.full(K - 1, 1.0)):
+                   np.full(K - 1, 1.0),
+                   np.linspace(0.05, 3.0, K - 1)):
             s = x0.copy()
-            off = len(x0) - (K - 1) * (2 if spec.nparK == 2 else 1)
             s[off:off + K - 1] = rr
             multi.append(s)
+        if spec.nparK >= 3:
+            # sticky-diagonal transition start: strong rate persistence
+            nrow = K - 1 if spec.nparK == 3 else K
+            for rr in (np.linspace(0.05, 3.0, K - 1),
+                       np.linspace(0.8, 3.0, K - 1)):
+                s = x0.copy()
+                s[off:off + K - 1] = rr
+                mk0 = off + K - 1
+                for i in range(nrow):
+                    if i < K - 1:
+                        s[mk0 + i * (K - 1) + i] = 2.5
+                multi.append(s)
     res = maximize(neg_lnl, x0, bounds, multi_start=multi)
     t, rgene, rates, alpha = unpack(jnp.asarray(res.x))
     branch_nodes = topo.branch_nodes()

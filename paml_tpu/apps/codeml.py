@@ -56,6 +56,8 @@ class CodemlSpec:
                                  # 3 diff kappa; 4 all diff (codeml.ctl)
     clock: int = 0               # 0 none; 1 global; 2 local (#i labels);
                                  # '@' fossil ages give absolute rates
+    fix_blength: int = 0         # 0 ignore tree lengths; 1 initials;
+                                 # 2 fixed (reference codeml.c:399-403)
     aaDist: int = 0              # +-1..6 chemical distances; 7 AAClasses;
                                  # 11 FIT1, 12 FIT2 (src/codeml.c:238)
     omegaAA: str | None = None   # OmegaAA.dat path/text for aaDist = 7
@@ -394,6 +396,8 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
         from ..core.clockparam import make_clock_times
         clock_fn, n_time, xt0, tbounds, _cinfo = make_clock_times(
             topo, spec.clock)
+    elif spec.fix_blength == 2:
+        n_time = 0               # branch lengths fixed at the tree's values
     else:
         n_time = nb
 
@@ -539,6 +543,8 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
             scale_flat = jnp.repeat(1.0 / (rs + ra * wbar), K)
         if spec.clock >= 1:
             tfull = clock_fn(t)
+        elif spec.fix_blength == 2:
+            tfull = jnp.asarray(topo.blen0, dtype)
         else:
             tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
         # ts[node, b*k] = t[node] * scale[b*k]
@@ -583,6 +589,9 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
     if spec.clock >= 1:
         x0 = list(xt0)
         bounds = list(tbounds)
+    elif spec.fix_blength == 2:
+        x0 = []
+        bounds = []
     else:
         t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
         if not (t0 > 0).any():

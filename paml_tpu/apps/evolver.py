@@ -42,14 +42,17 @@ def _tokens(path: str):
         idx = text.find(sep)
         if idx > 0:
             text = text[:idx]
-    # extract tree(s) first (lines containing parentheses up to ';')
+    # strip '*' comments line-wise BEFORE tree extraction (comments may
+    # contain parentheses, e.g. '(mc.paml)')
+    stripped = []
+    for line in text.splitlines():
+        i = line.find("*")
+        stripped.append(line[:i] if i >= 0 else line)
+    text = "\n".join(stripped)
+    # extract tree(s) (parenthesized newick up to ';')
     trees = re.findall(r"\([^;]*\)[^;]*;", text, flags=re.S)
     text_wo = re.sub(r"\([^;]*\)[^;]*;", " ", text, flags=re.S)
     for line in text_wo.splitlines():
-        for cc in ("*",):
-            i = line.find(cc)
-            if i >= 0:
-                line = line[:i]
         toks.extend(line.split())
     return toks, trees
 
@@ -129,38 +132,155 @@ def simulate_nuc(datfile: str, out="mc.paml", seed=None):
     return out, nrepl
 
 
+def _node_flabels(tree_str: str, topo: Topology, names) -> np.ndarray:
+    """Per-node float '#' labels from a (label) tree, mapped onto `topo`
+    node indices by clade (tip-name set) so label trees written with a
+    different child order still align."""
+    tree = parse_newick(tree_str)
+    # clade -> node index on the main topology
+    desc = topo.tip_descendants()
+    clade_to_node = {frozenset(names[i] for i in desc[v]): v
+                     for v in range(topo.nnode)}
+    vals = np.zeros(topo.nnode)
+
+    def walk(n):
+        tipset = set()
+        for c in n.children:
+            tipset |= walk(c)
+        if n.is_tip:
+            tipset = {n.name}
+        v = clade_to_node.get(frozenset(tipset))
+        if v is None:
+            raise ValueError("label tree does not match the main tree")
+        lab = n.flabel if n.flabel is not None else (
+            float(n.label) if n.label is not None else 0.0)
+        vals[v] = lab
+        return tipset
+
+    walk(tree)
+    return vals
+
+
 def simulate_codon(datfile: str, out="mc.paml", seed=None):
+    """Codon simulation: M0, per-branch omegas (#-labeled tree), NSsites
+    mixtures, and branch-site models (per-class label trees) — the
+    reference's compile-time variants (src/evolver.c:5-12, parsing
+    :935-1000; mixture normalization Qfactor :1049-1070).
+
+    The model variant is auto-detected from the .dat structure:
+    extra label trees => branch-site; '#' labels on the main tree =>
+    per-branch omegas; an integer class count + 2K values => NSsites;
+    otherwise M0.  Replicates are simulated in one vmapped batch.
+    Outputs: mc.paml (or mc.nex), siterates.txt (true site classes),
+    ancestral.txt (internal-node sequences) — reference files
+    src/evolver.c:174.
+    """
     toks, trees = _tokens(datfile)
     tk = _Tok(toks)
     outfmt = int(tk.num())
     seed_f = int(tk.num())
     ns, ncod, nrepl = (int(v) for v in tk.nums(3))
     tree_length = tk.num()
-    omega = tk.num()
+    topo, names, blens = _prepare_tree(trees[0], ns, tree_length)
+    nnode = topo.nnode
+
+    branchsite = len(trees) > 1
+    main_tree = parse_newick(trees[0])
+    has_branch_labels = any(
+        (n.flabel is not None or n.label is not None)
+        for n in main_tree.walk_post())
+
+    if branchsite:
+        ncatG = int(tk.num())
+        freqs = np.array(tk.nums(ncatG))
+        if len(trees) - 1 != ncatG:
+            raise ValueError(f"branch-site .dat: expected {ncatG} label "
+                             f"trees, found {len(trees) - 1}")
+        omega_bk = np.stack(
+            [_node_flabels(t, topo, names) for t in trees[1:ncatG + 1]],
+            axis=1)                                    # [nnode, K]
+    elif has_branch_labels:
+        ncatG = 1
+        freqs = np.ones(1)
+        omega_bk = _node_flabels(trees[0], topo, names)[:, None]
+    else:
+        # peek: NSsites has an integer class count whose freqs sum to 1
+        save_i = tk.i
+        first = tk.num()
+        is_sites = (first == int(first) and 2 <= first <= 64)
+        if is_sites:
+            ncatG = int(first)
+            freqs = np.array(tk.nums(ncatG))
+            is_sites = abs(freqs.sum() - 1.0) < 1e-5
+        if is_sites:
+            omegas = np.array(tk.nums(ncatG))
+            omega_bk = np.tile(omegas[None, :], (nnode, 1))
+        else:
+            tk.i = save_i
+            omega = tk.num()
+            ncatG = 1
+            freqs = np.ones(1)
+            omega_bk = np.full((nnode, 1), omega)
     kappa = tk.num()
     f64 = np.array(tk.nums(64))
-    icode = int(tk.num())
+    icode = int(tk.num()) if tk.i < len(tk.toks) else 0
     sense = sense_codons(icode)
     pi = f64[sense]
     pi = pi / pi.sum()
 
-    topo, names, blens = _prepare_tree(trees[0], ns, tree_length)
     key = jax.random.PRNGKey(seed if seed is not None else abs(seed_f))
     graph = codonmod.codon_graph(icode)
+    pij = jnp.asarray(pi)
     s = codonmod.mutation_part(graph, jnp.asarray(kappa))
-    Q = codonmod.build_Q(graph, s, jnp.asarray(omega), jnp.asarray(pi))
-    mr = codonmod.mean_rate(graph, s, jnp.asarray(omega), jnp.asarray(pi))
-    ts = (jnp.asarray(blens) / mr)[:, None]          # [nnode, 1]
-    P = pmat_rev(Q, jnp.asarray(pi), ts)             # [nnode, 1, n, n]
+
+    # per-(node, class) Q, normalized by the per-node class-mixture mean
+    # rate (reference Qfactor / QfactorBS, src/evolver.c:1049-1070)
+    rs, ra = codonmod.flux(graph, s, pij)
+    mr_bk = np.asarray(rs) + np.asarray(ra) * omega_bk      # [nnode, K]
+    qfac_b = 1.0 / (mr_bk * freqs[None, :]).sum(1)          # [nnode]
+    w_flat = jnp.asarray(omega_bk.reshape(-1))
+    Qs = jax.vmap(lambda w: codonmod.build_Q(graph, s, w, pij))(w_flat)
+    Qs = Qs.reshape(nnode, ncatG, graph.n, graph.n)
+    ts = jnp.asarray(blens * qfac_b)                        # [nnode]
+    P = jax.vmap(jax.vmap(pmat_rev, in_axes=(0, None, None)),
+                 in_axes=(0, None, 0))(Qs, pij, ts)         # [nnode,K,n,n]
+
+    keys = jax.random.split(key, nrepl)
+    sim = jax.jit(jax.vmap(
+        lambda k: simulate_states(k, topo, P, pij, ncod,
+                                  jnp.asarray(freqs))))
+    states_all, classes_all = sim(keys)                     # [R,nnode,ls]
+    states_all = np.asarray(states_all)
+    classes_all = np.asarray(classes_all)
 
     alphabet = [codon_string(c) for c in sense]
-    with open(out, "w") as f:
+    seqf = "mc.nex" if outfmt in (2, 3) else out
+    with open(seqf, "w") as f, open("siterates.txt", "w") as fsid, \
+            open("ancestral.txt", "w") as fanc:
+        if outfmt in (2, 3):
+            f.write("#NEXUS\n")
+        fsid.write("\nSite class IDs (1-based)\n")
+        fanc.write("\nAncestral sequences generated during simulation\n")
         for rep in range(nrepl):
-            key, k = jax.random.split(key)
-            states, _ = simulate_states(k, topo, P, jnp.asarray(pi), ncod)
-            rows = states_to_rows(np.asarray(states[:topo.ns]), alphabet)
-            write_paml_seqs(f, names, rows)
-    return out, nrepl
+            rows = states_to_rows(states_all[rep, :topo.ns], alphabet)
+            if outfmt in (2, 3):
+                f.write(f"\nBEGIN DATA;\n  DIMENSIONS NTAX={ns} "
+                        f"NCHAR={3 * ncod};\n  FORMAT DATATYPE=DNA "
+                        f"GAP=- MISSING=?;\n  MATRIX\n")
+                for nm, r in zip(names, rows):
+                    f.write(f"  {nm:<20s}  {r}\n")
+                f.write("  ;\nEND;\n")
+            else:
+                write_paml_seqs(f, names, rows)
+            if ncatG > 1:
+                fsid.write(f"\nreplicate {rep + 1}\n")
+                fsid.write(" ".join(str(int(c) + 1)
+                                    for c in classes_all[rep]) + "\n")
+            anc_rows = states_to_rows(states_all[rep, topo.ns:], alphabet)
+            fanc.write(f"\nreplicate {rep + 1}\n")
+            for i, r in enumerate(anc_rows):
+                fanc.write(f"node{topo.ns + i + 1:<15d}  {r}\n")
+    return seqf, nrepl
 
 
 def simulate_aa(datfile: str, out="mc.paml", seed=None):

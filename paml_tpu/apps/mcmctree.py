@@ -73,7 +73,23 @@ def _ln_calibration_density(t, kind, p):
                * tdist.cdf(shape * z * math.sqrt((df + 1) / (df + z * z)),
                            df + 1))
         return math.log(max(pdf, 1e-300))
+    if kind == "S2N":
+        # mixture of two skew normals (reference: lnptCalibrationDensity
+        # S2N_F arm, src/mcmctree.c:2982-2985)
+        p0, loc1, s1, sh1, loc2, s2, sh2 = p[:7]
+
+        def _sn(t, loc, scale, shape):
+            z = (t - loc) / scale
+            return (2.0 / scale
+                    * math.exp(-0.5 * z * z) / math.sqrt(2 * math.pi)
+                    * _norm_cdf(shape * z))
+        pdf = p0 * _sn(t, loc1, s1, sh1) + (1 - p0) * _sn(t, loc2, s2, sh2)
+        return math.log(max(pdf, 1e-300))
     raise ValueError(f"calibration kind {kind}")
+
+
+def _norm_cdf(x):
+    return 0.5 * math.erfc(-x / math.sqrt(2.0))
 
 
 def _ln_norm_cdf(x):
@@ -142,6 +158,9 @@ class SpeciesTree:
     multiplicative: bool = False       # BDS_flag: kernel on all nodes
     psi: float = 0.0                   # BDS fossil-sampling rate (TipDate)
     tip_ages: np.ndarray | None = None  # [ns] nonzero => TipDate model
+    # cross-bracing / duplication dating: mirror node -> driver node whose
+    # age it shares (reference: stree.duplication, treesub.c:8776-8840)
+    mirror_of: dict = field(default_factory=dict)
 
     @property
     def ns(self):
@@ -157,21 +176,58 @@ class SpeciesTree:
 
 def build_species_tree(tree: treeio.TreeNode, names, bds=(1, 1, 0.1),
                        root_age: str | None = None,
-                       multiplicative=False) -> SpeciesTree:
+                       multiplicative=False,
+                       duplication=False) -> SpeciesTree:
     topo = from_treenode(tree, names)
     cals = {}
+    labels = {}
     for node in tree.walk_pre():
-        cal = treeio.parse_calibration(node.annotation)
+        ann = node.annotation
+        if ann:
+            # bracing labels may sit inside the annotation together with a
+            # calibration, e.g. '[#1 B{0.5,0.7}]' (dating-cross-bracing)
+            m = re.search(r"#\s*(\d+)", ann)
+            if m and not node.is_tip:
+                labels[node.index] = int(m.group(1))
+                ann = (ann[:m.start()] + ann[m.end():]).strip()
+        cal = treeio.parse_calibration(ann)
         if cal is not None:
             cals[node.index] = _fill_defaults(*cal)
+        if not node.is_tip and node.label:
+            labels[node.index] = int(node.label)
     root_prior = None
     if root_age:
         cal = treeio.parse_calibration(root_age)
         if cal is not None:
             root_prior = _fill_defaults(*cal)
+    mirror_of: dict = {}
+    if duplication:
+        # nodes sharing a #k label share one age; the lowest-numbered one
+        # drives.  Calibrations are copied to the driver; a calibration on
+        # any braced node must agree with the driver's (reference:
+        # treesub.c:8776-8840)
+        if not labels:
+            raise ValueError("duplication dating needs #k node labels")
+        groups: dict[int, list] = {}
+        for n, k in sorted(labels.items()):
+            groups.setdefault(k, []).append(n)
+        for k, grp in groups.items():
+            if len(grp) < 2:
+                raise ValueError(f"label #{k} marks only node {grp[0]}; "
+                                 f"cross-bracing needs >= 2 nodes")
+            main = grp[0]
+            for j in grp[1:]:
+                mirror_of[j] = main
+                calj = cals.pop(j, None)
+                if calj is not None:
+                    if main in cals and cals[main] != calj:
+                        raise ValueError(
+                            f"braced nodes {main} and {j} have different "
+                            f"calibrations")
+                    cals.setdefault(main, calj)
     return SpeciesTree(topo=topo, calibrations=cals,
                        root_age_prior=root_prior, bds=tuple(bds),
-                       multiplicative=multiplicative)
+                       multiplicative=multiplicative, mirror_of=mirror_of)
 
 
 from ..io.treeio import parse_tip_dates  # noqa: E402  (re-export)
@@ -261,6 +317,13 @@ def ln_prior_times(st: SpeciesTree, ages: np.ndarray) -> float:
         cal = st.calibrations.get(j)
         if cal is not None:
             lnpt += _ln_calibration_density(ages[j], cal[0], cal[1])
+
+    # cross-bracing: mirrored ages are not free — the BDS/order term is
+    # dropped and the prior is the calibration densities alone
+    # (reference: lnpriorTimes skips lnptNCgiventC when stree.duplication,
+    # mcmctree.c:3273)
+    if st.mirror_of:
+        return lnpt
 
     # --- BDS kernel for (non-)calibration nodes ---
     small = 1e-20
@@ -437,6 +500,54 @@ def approx_lnL(locus: ApproxLocus, blens: np.ndarray) -> float:
             z = b.copy()
         z = z - locus.bl
     return float(locus.gradient @ z + 0.5 * z @ locus.hessian @ z)
+
+
+@dataclass
+class MorphLocus:
+    """Continuous morphological characters (F73 Brownian-motion model;
+    reference: ReadMorphology src/treesub.c:436, lnLmorphF73
+    src/mcmctree.c:1089)."""
+    names: list
+    z: np.ndarray               # [ns, ls] measurements, species-tree order
+    popvar: float = 0.0         # population variance added to tip branches
+    ldetRm: float = 0.0         # log-det of the character correlation R
+
+    @property
+    def ls(self):
+        return self.z.shape[1]
+
+
+def lnL_morph_F73(topo: Topology, b_by_node: dict, z: np.ndarray,
+                  popvar: float, ldetRm: float) -> float:
+    """Felsenstein-1973 independent-contrasts likelihood of continuous
+    characters under Brownian motion (reference: lnLmorphF73,
+    src/mcmctree.c:1089).  b_by_node: branch length (duration x rate)
+    above each node; tips get + popvar; each internal node contributes a
+    contrast with variance v0+v1 and passes v0*v1/(v0+v1) up."""
+    ls = z.shape[1]
+    x = {i: np.asarray(z[i], float) for i in range(topo.ns)}
+    corr = {}
+    lnL = 0.0
+    for node in topo.postorder:
+        kids = [int(c) for c in topo.children[node] if c >= 0]
+        if len(kids) != 2:
+            raise ValueError("morphological likelihood needs a rooted "
+                             "binary tree")
+        v = []
+        for c in kids:
+            vc = float(b_by_node.get(c, 0.0))
+            vc += popvar if c < topo.ns else corr[c]
+            v.append(vc)
+        vv = v[0] + v[1]
+        if vv <= 0:
+            return -np.inf
+        x0, x1 = x[kids[0]], x[kids[1]]
+        zz = float(((x0 - x1) ** 2).sum())
+        lnL += (-0.5 * ls * math.log(2 * math.pi * vv) - zz / (2 * vv)
+                - ldetRm / 2.0)
+        x[node] = (v[0] * x1 + v[1] * x0) / vv
+        corr[node] = v[0] * v[1] / vv
+    return lnL
 
 
 def gene_branch_lengths(st: SpeciesTree, ages: np.ndarray,
@@ -794,6 +905,23 @@ class MCMCTree:
             mx = max(ages[c] for c in kids)
             if ages[n] <= mx:
                 ages[n] = mx * 1.1
+        # cross-bracing: mirrors start at (and stay at) the driver's age;
+        # nudge the drivers up if a mirror's children are older
+        if st.mirror_of:
+            for _ in range(4):
+                for mj, mi in st.mirror_of.items():
+                    kids = [c for c in topo.children[mj] if c >= 0]
+                    mx = max(ages[c] for c in kids)
+                    if ages[mi] <= mx:
+                        ages[mi] = mx * 1.05
+                    ages[mj] = ages[mi]
+                for n in topo.postorder:
+                    kids = [c for c in topo.children[n] if c >= 0]
+                    mx = max(ages[c] for c in kids)
+                    if ages[n] <= mx and n not in st.mirror_of:
+                        ages[n] = mx * 1.05
+                for mj, mi in st.mirror_of.items():
+                    ages[mj] = ages[mi]
         self.ages = ages
         self.mu = np.maximum(rng.gamma(spec.rgene_gamma[0],
                                        1 / spec.rgene_gamma[1], self.g), 1e-4)
@@ -833,6 +961,9 @@ class MCMCTree:
             spec.clock, locus_i)
         if spec.usedata == 0:
             return 0.0
+        if isinstance(self.loci[locus_i], MorphLocus):
+            m = self.loci[locus_i]
+            return lnL_morph_F73(st.topo, b, m.z, m.popvar, m.ldetRm)
         if spec.usedata == 2:
             bl = rooted_to_unrooted_blens(st, b, self.branch_orders[locus_i])
             return approx_lnL(self.loci[locus_i], bl)
@@ -878,7 +1009,75 @@ class MCMCTree:
             jnp.asarray(blv), jnp.asarray(self.kappa[locus_i]),
             jnp.asarray(self.alpha_g[locus_i])))
 
+    def _ensure_exact_batch(self):
+        """One jitted vmap over loci for the exact likelihood: a single
+        device call per proposal instead of one per locus (the reference
+        loops loci serially, lnpData mcmctree.c:1173)."""
+        if hasattr(self, "_exact_batch"):
+            return self._exact_batch is not None
+        st, spec = self.st, self.spec
+        ok = (spec.usedata == 1 and self.g > 1
+              and all(isinstance(l, seqio.PackedData) for l in self.loci))
+        if not ok:
+            self._exact_batch = None
+            return False
+        import jax
+        import jax.numpy as jnp
+
+        from ..core import pruning
+        from ..core.dgamma import discrete_gamma
+        from ..models import nuc
+
+        topo = st.topo
+        G = self.g
+        Hmax = max(l.npatt for l in self.loci)
+        ns = topo.ns
+        tips = np.ones((G, ns, Hmax, 4))
+        fpatt = np.zeros((G, Hmax))
+        pis = np.zeros((G, 4))
+        for i, l in enumerate(self.loci):
+            tips[i, :, :l.npatt] = l.tip_partials
+            fpatt[i, :l.npatt] = l.fpatt
+            pis[i] = nuc.model_pi(spec.model, l.base_freqs)
+        tips_j, fpatt_j = jnp.asarray(tips), jnp.asarray(fpatt)
+        pis_j = jnp.asarray(pis)
+        K = spec.ncatG if spec.alpha > 0 else 1
+        model = spec.model
+
+        def lnl(tips_l, fpatt_l, pi_l, blens, kappa, alpha):
+            if K > 1:
+                r, w = discrete_gamma(alpha, K)
+            else:
+                r = jnp.ones((1,))
+                w = jnp.ones((1,))
+            ts = blens[:, None] * r[None, :]
+            P, pi_root = nuc.pmats_for_model(model, jnp.stack([kappa]),
+                                             pi_l, ts)
+            piC = jnp.broadcast_to(pi_root, (K, 4))
+            return pruning.lnL(P, tips_l, topo, piC, w, fpatt_l)
+
+        fn = jax.jit(jax.vmap(lnl))
+
+        def run(blens_G, kappa_G, alpha_G):
+            return np.asarray(fn(tips_j, fpatt_j, pis_j,
+                                 jnp.asarray(blens_G),
+                                 jnp.asarray(kappa_G),
+                                 jnp.asarray(alpha_G)))
+        self._exact_batch = run
+        return True
+
     def lnL_all(self):
+        if self._ensure_exact_batch():
+            st, spec = self.st, self.spec
+            blv = np.zeros((self.g, st.topo.nnode))
+            for l in range(self.g):
+                b = gene_branch_lengths(
+                    st, self.ages,
+                    self.mu if spec.clock == 1 else self.rates,
+                    spec.clock, l)
+                for i, v in b.items():
+                    blv[l, i] = v
+            return self._exact_batch(blv, self.kappa, self.alpha_g)
         return np.array([self.lnL_locus(i) for i in range(self.g)])
 
     # -- MCMC ----------------------------------------------------------
@@ -901,8 +1100,19 @@ class MCMCTree:
             "mix": np.array([spec.finetune[3]]),
             "par": np.full(2 * g, spec.finetune[4]),
         }
+        # resume mid-burn-in with the adapted step lengths (the reference
+        # saves them in the checkpoint, SaveMCMCstate mcmctree.c:807)
+        if getattr(self, "_resume_steps", None) is not None:
+            for k, v in self._resume_steps.items():
+                if k in steps and len(v) == len(steps[k]):
+                    steps[k] = np.asarray(v, float)
+        self.steps = steps
         nacc = {k: np.zeros_like(v) for k, v in steps.items()}
         ntry = {k: np.zeros_like(v) for k, v in steps.items()}
+        # periodic full-recompute consistency audit (reference:
+        # mcmctree.c:4617-4628 aborts on drift)
+        audit_every = max(1000, (spec.burnin + spec.sampfreq
+                                 * spec.nsample) // 10)
 
         lnpT = self.lnpT()
         lnpR = self.lnpR()
@@ -913,18 +1123,29 @@ class MCMCTree:
 
         for it in range(-spec.burnin, spec.sampfreq * spec.nsample):
             # ---- update times ----
+            mirror_of = st.mirror_of
+            mirrors_of: dict[int, list] = {}
+            for mj, mi in mirror_of.items():
+                mirrors_of.setdefault(mi, []).append(mj)
             for j, node in enumerate(st.internal_nodes()):
+                if node in mirror_of:
+                    continue      # age driven by the braced main node
+                group = [node] + mirrors_of.get(node, [])
                 t = self.ages[node]
-                kids = [c for c in topo.children[node] if c >= 0]
-                tmin = max(self.ages[c] for c in kids)
-                tmax = (1e9 if node == st.root
-                        else self.ages[topo.parent[node]])
+                tmin, tmax = 0.0, 1e9
+                for gn in group:
+                    kids = [c for c in topo.children[gn] if c >= 0]
+                    tmin = max(tmin, max(self.ages[c] for c in kids))
+                    if gn != st.root:
+                        tmax = min(tmax,
+                                   self.ages[topo.parent[gn]])
                 y = math.log(t)
                 yb = (math.log(tmin) if tmin > 0 else -99, math.log(tmax))
                 ynew = _reflect(y + steps["t"][j] * self.bactrian(),
                                 yb[0], yb[1], rng)
                 tnew = math.exp(ynew)
-                self.ages[node] = tnew
+                for gn in group:
+                    self.ages[gn] = tnew
                 lnpTnew = self.lnpT()
                 lnacc = (ynew - y) + lnpTnew - lnpT
                 lnpRnew = lnpR
@@ -938,7 +1159,8 @@ class MCMCTree:
                     lnpT, lnpR, lnpDi = lnpTnew, lnpRnew, lnpDnew
                     nacc["t"][j] += 1
                 else:
-                    self.ages[node] = t
+                    for gn in group:
+                        self.ages[gn] = t
 
             # ---- update mu / sigma2 ----
             gD_mu = spec.rgene_gamma
@@ -1111,7 +1333,10 @@ class MCMCTree:
                     lnpRnew = self.lnpR()
                     lnacc += lnpRnew - lnpR
                 lnpTnew = self.lnpT()
-                lnacc += lnpTnew - lnpT + (s - 1 - ndivide) * lnc
+                # distinct internal ages = s-1 minus the mirrored ones
+                # (reference: mixing, mcmctree.c:4175)
+                lnacc += (lnpTnew - lnpT
+                          + (s - 1 - len(st.mirror_of) - ndivide) * lnc)
             lnpDnew_all = self.lnL_all()
             lnacc += float(lnpDnew_all.sum() - lnpDi.sum())
             ntry["mix"][0] += 1
@@ -1145,6 +1370,18 @@ class MCMCTree:
                     nacc[kname][:] = 0
                     ntry[kname][:] = 0
                 next_adjust += spec.burnin // 4
+
+            # ---- periodic lnL/prior consistency audit ----
+            if (it + spec.burnin) % audit_every == audit_every - 1:
+                lnpT2, lnpR2 = self.lnpT(), self.lnpR()
+                lnpD2 = self.lnL_all()
+                drift = max(abs(lnpT2 - lnpT), abs(lnpR2 - lnpR),
+                            float(np.abs(lnpD2 - lnpDi).max()))
+                if drift > 1e-3 * max(1.0, abs(float(lnpDi.sum()))):
+                    raise RuntimeError(
+                        f"MCMC audit failed at it={it}: cached lnP drifted "
+                        f"by {drift:.6g} from a full recompute")
+                lnpT, lnpR, lnpDi = lnpT2, lnpR2, lnpD2
 
             # ---- sample ----
             if it >= 0 and it % spec.sampfreq == 0:
@@ -1268,7 +1505,9 @@ def run_ctl(opts: dict, ctl_path: str, progress=True):
     trees = treeio.read_trees(treefile, names)
     st = build_species_tree(trees[0], names, bds=spec.bds,
                             root_age=spec.root_age,
-                            multiplicative=spec.multiplicative)
+                            multiplicative=spec.multiplicative,
+                            duplication=bool(int(float(
+                                g("duplication", "0")))))
     tipdate_toks = str(g("TipDate", "0")).split()
     if tipdate_toks and int(float(tipdate_toks[0])):
         timeunit = (float(tipdate_toks[1])
@@ -1304,7 +1543,14 @@ def run_ctl(opts: dict, ctl_path: str, progress=True):
                 al.transform_gh()
                 loci.append(al)
     elif usedata == 1:
-        loci = [seqio.pack(a, cleandata=spec.cleandata) for a in alns]
+        loci = []
+        for a in alns:
+            if isinstance(a, seqio.MorphAlignment):
+                order = [a.names.index(nm) for nm in names]
+                loci.append(MorphLocus(names=list(names), z=a.z[order],
+                                       popvar=a.popvar, ldetRm=a.ldetRm))
+            else:
+                loci.append(seqio.pack(a, cleandata=spec.cleandata))
     else:
         loci = [None] * ndata
     mc = MCMCTree(st, loci, spec)
@@ -1329,5 +1575,28 @@ def run_ctl(opts: dict, ctl_path: str, progress=True):
         for k, v in summ.items():
             f.write(f"{k:>12s} {v['mean']:10.4f} {v['eq_lo']:10.4f} "
                     f"{v['eq_hi']:10.4f} {v['ess']:8.1f}\n")
+    # FigTree tree with posterior-mean ages and 95% HPD annotations
+    # (reference: DescriptiveStatisticsSimpleMCMCTREE FigTree.tre block)
+    try:
+        from ..io.outputs import figtree_newick, write_figtree
+        topo = st.topo
+        ages_mean = np.zeros(topo.nnode)
+        hpd_lo = np.zeros(topo.nnode)
+        hpd_hi = np.zeros(topo.nnode)
+        if st.tip_ages is not None:
+            ages_mean[:topo.ns] = st.tip_ages
+        for n in range(topo.ns, topo.nnode):
+            v = summ.get(f"t_n{n}")
+            if v is None:
+                continue
+            ages_mean[n] = v["mean"]
+            hpd_lo[n], hpd_hi[n] = v["hpd_lo"], v["hpd_hi"]
+        nwk = figtree_newick(topo.parent, topo.children, topo.root,
+                             [names[i] if i < topo.ns else ""
+                              for i in range(topo.nnode)],
+                             ages_mean, hpd_lo, hpd_hi)
+        write_figtree("FigTree.tre", nwk)
+    except Exception as e:          # FigTree output is best-effort
+        print(f"FigTree.tre not written: {e}")
     print(f"summary written to {out}")
     return summ

@@ -25,7 +25,11 @@ import numpy as np
 def save_state(mc, path: str, it: int = 0) -> None:
     state = dict(ages=mc.ages, mu=mc.mu, sigma2=mc.sigma2, rates=mc.rates,
                  kappa=mc.kappa, alpha_g=mc.alpha_g, it=it,
-                 rng_state=mc.rng.bit_generator.state)
+                 rng_state=mc.rng.bit_generator.state,
+                 # adapted proposal step lengths (reference saves them,
+                 # SaveMCMCstate mcmctree.c:807) so a resume mid-burn-in
+                 # does not restart Pjump adaptation from scratch
+                 steps=getattr(mc, "steps", None))
     with open(path, "wb") as f:
         pickle.dump(state, f)
 
@@ -40,6 +44,8 @@ def load_state(mc, path: str) -> int:
     mc.kappa = state["kappa"]
     mc.alpha_g = state["alpha_g"]
     mc.rng.bit_generator.state = state["rng_state"]
+    if state.get("steps") is not None:
+        mc._resume_steps = state["steps"]
     return int(state["it"])
 
 

@@ -93,6 +93,79 @@ def alpha_estimates(changes: np.ndarray, fpatt: np.ndarray, nbranch: int,
                       alpha_yk96=float(r2.x))
 
 
+def distance_rev(Ft: np.ndarray, alpha: float = 0.0, ls: int = 1000):
+    """REV distance from a divergence (F(t)) count matrix (reference:
+    DistanceREV, src/pamp.c:574): symmetrize, split into pi and P(t),
+    take the matrix log (or the gamma transform when alpha > 0) of the
+    eigenvalues, renormalize Q to mean rate 1 and return (t, Q, pi).
+
+    Returns (t, Q [n,n], pi [n], cond) with cond != 0 when F(t) was
+    degenerate/modified (the reference's adhockery flags)."""
+    n = Ft.shape[0]
+    Q = np.array(Ft, float)
+    small = 0.1 / max(ls, 1)
+    cond = 0
+    if Q.sum() - np.trace(Q) < small:
+        return 0.0, np.zeros((n, n)), np.full(n, 1.0 / n), 1
+    Q = (Q + Q.T) / 2
+    Q /= Q.sum()
+    pi = Q.sum(1)
+    P = np.where(pi[:, None] > small, Q / np.where(pi[:, None] > small,
+                                                   pi[:, None], 1.0), Q)
+    # eigen of the reversible P via pi-symmetrization
+    sq = np.sqrt(np.maximum(pi, 1e-300))
+    S = (P * sq[:, None] / sq[None, :])
+    S = (S + S.T) / 2
+    lam, U = np.linalg.eigh(S)
+    lam2 = np.empty_like(lam)
+    for i, lv in enumerate(lam):
+        if lv <= 0:
+            lam2[i] = -300.0            # reference adhockery
+            cond = -1
+        elif alpha <= 0:
+            lam2[i] = math.log(lv)
+        else:
+            lam2[i] = alpha * (1 - lv ** (-1.0 / alpha))  # gammap
+    L = U / sq[:, None]
+    R = U.T * sq[None, :]
+    Qm = (L * lam2[None, :]) @ R
+    t = -float((pi * np.diag(Qm)).sum())
+    if t <= 0:
+        return 0.0, np.zeros((n, n)), pi, 1
+    Qm /= t
+    off_mask = ~np.eye(n, dtype=bool)
+    Qm[off_mask] = np.maximum(Qm[off_mask], 0.0)   # reference clips offdiag
+    return t, Qm, pi, cond
+
+
+def pattern_ls(topo: Topology, data: seqio.PackedData,
+               alpha: float = 0.0):
+    """Pairwise REV distances from observed divergence matrices + LS
+    branch lengths (reference: PatternLS, src/pamp.c:631).
+
+    Returns dict with D [ns, ns] REV distances, Qt (Q from the average
+    F(t)), pi, and blens (least-squares branch lengths)."""
+    from .treesearch import ls_branch_lengths
+
+    states = np.argmax(data.tip_partials, axis=-1)       # clean data
+    n = data.nstates
+    ns = data.ns
+    D = np.zeros((ns, ns))
+    Qt = np.zeros((n, n))
+    npair = ns * (ns - 1) / 2
+    for i in range(ns):
+        for j in range(i):
+            F = np.zeros((n, n))
+            np.add.at(F, (states[i], states[j]), data.fpatt / 2)
+            np.add.at(F, (states[j], states[i]), data.fpatt / 2)
+            Qt += F / npair
+            t, _, _, _ = distance_rev(F, alpha, data.ls)
+            D[i, j] = D[j, i] = t
+    _, Qavg, pi, _ = distance_rev(Qt, alpha, data.ls)
+    blens, ss = ls_branch_lengths(topo, D)
+    return dict(D=D, Q=Qavg, pi=pi, blens=blens, ss=ss)
+
+
 def pattern_matrix(topo: Topology, data: seqio.PackedData) -> np.ndarray:
     """Substitution pattern counts from joint parsimony-style
     reconstructions (reference: PatternMP, src/pamp.c:343), here using the

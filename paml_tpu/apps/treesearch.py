@@ -133,6 +133,100 @@ def nni_search_ml(data: seqio.PackedData, start_tree: TreeNode, fit_fn,
     return tree, best_lnl
 
 
+def stepwise_addition_ml(data: seqio.PackedData, fit_fn, names=None,
+                         progress=False):
+    """Stepwise addition under ML (reference: StepwiseAddition,
+    src/treesub.c:4866, runmode=3 with ML scoring): taxa are added one at
+    a time on the edge that maximizes the refit log-likelihood.
+
+    fit_fn(topo, sub_data) -> lnL."""
+    names = names or data.names
+    tree = treeio.parse_newick(f"({names[0]}, {names[1]}, {names[2]});")
+    best_lnl = None
+    for k in range(3, len(names)):
+        sub = _subset_data(data, names[:k + 1])
+        best, best_lnl = None, -np.inf
+        for edge in _unrooted_insertions(tree):
+            cand = _insert(tree, edge, names[k])
+            topo = from_treenode(_clone(cand), sub.names)
+            lnl = fit_fn(topo, sub)
+            if lnl > best_lnl:
+                best, best_lnl = cand, lnl
+        tree = best
+        if progress:
+            print(f"  + {names[k]}: lnL {best_lnl:.4f}")
+    return tree, best_lnl
+
+
+def star_decomposition(data: seqio.PackedData, fit_fn, mp=False,
+                       max_joins=None, progress=False):
+    """Star decomposition (reference: StarDecomposition,
+    src/treesub.c:4960): start from the star tree and greedily join the
+    pair of root children that most improves the score, until the root is
+    a trichotomy (unrooted binary) or no join improves.
+
+    fit_fn(topo, data) -> lnL (ignored when mp=True, which uses the
+    parsimony score)."""
+    names = data.names
+    tree = treeio.parse_newick("(" + ", ".join(names) + ");")
+
+    def score(t):
+        topo = from_treenode(_clone(t), names)
+        if mp:
+            return -parsimony.mp_score(topo, data)
+        return fit_fn(topo, data)
+
+    cur = score(tree)
+    joins = 0
+    while len(tree.children) > 3:
+        best, best_sc = None, -np.inf
+        kids = list(tree.children)
+        for i in range(len(kids)):
+            for j in range(i + 1, len(kids)):
+                t2 = _clone(tree)
+                k2 = list(t2.children)
+                knot = TreeNode(children=[k2[i], k2[j]])
+                t2.children = ([knot] + [c for m, c in enumerate(k2)
+                                         if m not in (i, j)])
+                sc = score(t2)
+                if sc > best_sc:
+                    best, best_sc = t2, sc
+        if best is None or best_sc < cur - 1e-9:
+            break
+        tree, cur = best, best_sc
+        joins += 1
+        if progress:
+            print(f"  join {joins}: score {cur:.4f}")
+        if max_joins and joins >= max_joins:
+            break
+    return tree, cur
+
+
+def ls_branch_lengths(topo, dist: np.ndarray):
+    """Least-squares branch lengths on a fixed topology from a pairwise
+    distance matrix (reference: LSDistance, src/treesub.c:2642).
+
+    Returns (blens [nnode] with root 0, sum of squared residuals)."""
+    from scipy.optimize import nnls
+
+    ns = topo.ns
+    desc = topo.tip_descendants()
+    branch_nodes = [int(v) for v in topo.branch_nodes()]
+    pairs = [(i, j) for i in range(ns) for j in range(i)]
+    A = np.zeros((len(pairs), len(branch_nodes)))
+    for col, v in enumerate(branch_nodes):
+        below = desc[v]
+        for row, (i, j) in enumerate(pairs):
+            if (i in below) != (j in below):
+                A[row, col] = 1.0
+    d = np.array([dist[i, j] for i, j in pairs])
+    b, rnorm = nnls(A, d)
+    blens = np.zeros(topo.nnode)
+    for col, v in enumerate(branch_nodes):
+        blens[v] = b[col]
+    return blens, float(rnorm ** 2)
+
+
 def nni_search_mp(data: seqio.PackedData, start_tree: TreeNode,
                   max_rounds: int = 20):
     tree = _clone(start_tree)

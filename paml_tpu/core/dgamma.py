@@ -194,3 +194,27 @@ def discrete_beta(p: jnp.ndarray, q: jnp.ndarray, K: int,
     Fpad = jnp.concatenate([jnp.zeros((1,), F.dtype), F, jnp.ones((1,), F.dtype)])
     x = (Fpad[1:] - Fpad[:-1]) * mean * K
     return x, jnp.full((K,), 1.0 / K, p.dtype)
+
+
+def gauss_laguerre(n: int):
+    """Gauss-Laguerre nodes/weights for integrals of exp(-x) f(x) on
+    [0, inf) (reference: GaussLaguerreRule, src/tools.c:4387, hard-coded
+    tables up to order 1024 — here computed via the Golub-Welsch
+    eigenvalue method in numpy).  Returns (x [n], w [n])."""
+    import numpy as np
+    return np.polynomial.laguerre.laggauss(n)
+
+
+def gamma_expectation_gl(f, alpha: float, beta: float | None = None,
+                         n: int = 32):
+    """E_{r ~ Gamma(alpha, beta)}[f(r)] by Gauss-Laguerre after the
+    substitution x = beta*r weighted by the Gamma(alpha) density tail —
+    the reference's continuous-gamma tail handling (basemlg)."""
+    import numpy as np
+    from scipy.special import gammaln
+    beta = alpha if beta is None else beta
+    x, w = gauss_laguerre(n)
+    # integrand: f(x/beta) * x^{alpha-1} / Gamma(alpha), weight e^{-x}
+    lg = gammaln(alpha)
+    vals = np.array([f(xi / beta) for xi in x])
+    return float((w * vals * np.exp((alpha - 1) * np.log(x) - lg)).sum())

@@ -124,6 +124,8 @@ def codeml_spec(opts: dict, ctl_path: str):
         hkyREV=bool(int(_first_num(g("hkyREV", "0")))),
         estFreq=bool(int(_first_num(g("estFreq", "0")))),
         Mgene=int(_first_num(g("Mgene", "0"))),
+        clock=int(_first_num(g("clock", "0"))),
+        fix_blength=int(_first_num(g("fix_blength", "0"))),
     )
     if seqtype in (2, 3):
         names = {0: "Poisson", 1: "EqualInput", 2: "Empirical",

@@ -185,7 +185,7 @@ def figtree_newick(parent, children, root, names, ages_mean,
     '[&95%HPD={lo, hi}]' node annotations (reference annotation string,
     mcmctree DescriptiveStatisticsSimpleMCMCTREE)."""
     def ann(i):
-        if hpd_lo is None or i < len(names):
+        if hpd_lo is None or not any(c >= 0 for c in children[i]):
             return ""
         return f"[&95%HPD={{{hpd_lo[i]:.6g}, {hpd_hi[i]:.6g}}}]"
 

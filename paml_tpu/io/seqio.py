@@ -46,6 +46,20 @@ class Alignment:
 
 
 @dataclass
+class MorphAlignment:
+    """Continuous morphological characters (mcmctree option M locus)."""
+    names: list
+    z: np.ndarray            # [ns, ls]
+    popvar: float = 0.0
+    ldetRm: float = 0.0
+    seqtype: int = 3         # MORPHC-style marker
+
+    @property
+    def ns(self):
+        return len(self.names)
+
+
+@dataclass
 class PackedData:
     """Compressed, encoded data ready for the likelihood engine."""
     names: list[str]
@@ -95,12 +109,20 @@ def read_alignments(path: str, seqtype: int = BASE_SEQ,
     input; reference: ReadTreeSeqs reads `ndata` successive alignments)."""
     with open(path) as f:
         lines = f.read().splitlines()
-    # header lines: first two tokens are ints, remaining are option letters
+    # header lines: first two tokens are ints, remaining are option
+    # letters; a morphological locus adds numbers after 'M'
+    # ('ns ls M popvar ldetRm', reference: src/treesub.c:552-556)
     starts = []
     for i, line in enumerate(lines):
         toks = line.split()
-        if (len(toks) >= 2 and toks[0].isdigit() and toks[1].isdigit()
-                and all(re.fullmatch(r"[A-Za-z]+", t) for t in toks[2:])):
+        if len(toks) < 2 or not (toks[0].isdigit() and toks[1].isdigit()):
+            continue
+        rest = toks[2:]
+        letters = [t for t in rest if re.fullmatch(r"[A-Za-z]+", t)]
+        numbers = [t for t in rest
+                   if re.fullmatch(r"[-+0-9.eE]+", t)]
+        if len(letters) + len(numbers) == len(rest) and (
+                not numbers or any("M" in t.upper() for t in letters)):
             starts.append(i)
     if not starts:
         raise ValueError(f"no alignment headers found in {path}")
@@ -109,8 +131,40 @@ def read_alignments(path: str, seqtype: int = BASE_SEQ,
     out = []
     for k, s in enumerate(starts):
         end = starts[k + 1] if k + 1 < len(starts) else len(lines)
-        out.append(_read_phylip("\n".join(lines[s:end]), seqtype))
+        block = "\n".join(lines[s:end])
+        toks = lines[s].split()
+        if any("M" in t.upper() for t in toks[2:]
+               if re.fullmatch(r"[A-Za-z]+", t)):
+            out.append(_read_morphology(block))
+        else:
+            out.append(_read_phylip(block, seqtype))
     return out
+
+
+def _read_morphology(text: str):
+    """Continuous-character block: 'ns ls M [popvar [ldetRm]]' then per
+    species a name and ls values (reference: ReadMorphology,
+    src/treesub.c:436)."""
+    toks = text.split()
+    ns, ls = int(toks[0]), int(toks[1])
+    i = 2
+    assert toks[i].upper().find("M") >= 0
+    i += 1
+    extras = []
+    while i < len(toks) and re.fullmatch(r"[-+0-9.eE]+", toks[i]) \
+            and len(extras) < 2:
+        extras.append(float(toks[i]))
+        i += 1
+    popvar = extras[0] if extras else 0.0
+    ldetRm = extras[1] if len(extras) > 1 else 0.0
+    names, z = [], np.zeros((ns, ls))
+    for s in range(ns):
+        names.append(toks[i])
+        i += 1
+        for j in range(ls):
+            z[s, j] = float(toks[i])
+            i += 1
+    return MorphAlignment(names=names, z=z, popvar=popvar, ldetRm=ldetRm)
 
 
 def read_alignment(path: str, seqtype: int = BASE_SEQ) -> Alignment:

@@ -19,6 +19,7 @@ class TreeNode:
     children: list["TreeNode"] = field(default_factory=list)
     blen: float | None = None
     label: int | None = None        # '#i' branch label (omega/rate class)
+    flabel: float | None = None     # raw '#x' value (evolver branch omegas)
     clade_label: int | None = None  # '$i' clade label (applies to whole subtree)
     age: float | None = None        # '@x' node age
     annotation: str | None = None   # raw "'...'" or '[...]' annotation text
@@ -61,8 +62,13 @@ def _parse_suffix(node: TreeNode, s: str, i: int) -> int:
                 node.annotation = ann
             i = j + 1
         elif c == "#":
-            m = re.match(r"#\s*(\d+)", s[i:])
-            node.label = int(m.group(1))
+            # integer labels are branch classes; float labels carry values
+            # directly (evolver's per-branch omegas, src/evolver.c:949)
+            m = re.match(r"#\s*([0-9.eE+-]+)", s[i:])
+            v = float(m.group(1))
+            node.flabel = v
+            if v == int(v):
+                node.label = int(v)
             i += m.end()
         elif c == "$":
             m = re.match(r"\$\s*(\d+)", s[i:])

@@ -48,3 +48,17 @@ def test_fromcodon_mles():
     # model 5: kappa 9.246897, omega 0.031208 (fresh reference run)
     assert float(res0.kappa[0]) == pytest.approx(9.246897, abs=2e-3)
     assert res0.params["omega"] == pytest.approx(0.031208, abs=2e-4)
+
+
+@pytest.mark.parametrize("model,golden,np_want", [
+    ("REVaa_0", -14461.504274, 80),
+    pytest.param("REVaa", -14367.014272, 200, marks=pytest.mark.slow),
+])
+def test_revaa_golden(model, golden, np_want):
+    """REVaa/REVaa_0 free-exchangeability AA models (reference:
+    eigenQaa src/codeml.c:3424-3436; fresh reference runs on
+    mtCDNApri.aa, icode=1, jones initials)."""
+    res = _fit(model)
+    assert res.np == np_want
+    assert res.lnL == pytest.approx(golden, abs=5e-3)
+    assert res.lnL <= golden + 5e-2
