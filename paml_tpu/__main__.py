@@ -202,6 +202,44 @@ def run_codeml(ctl_path: str) -> None:
         return
     aln = seqio.read_alignment(seqfile, seqtype)
     data = seqio.pack(aln, cleandata=spec.cleandata, icode=spec.icode)
+    if extras.get("runmode", 0) in (-2, -3) and spec.seqtype == 1:
+        # pairwise ML (-2) / Bayesian (-3) dN/dS without a tree
+        # (reference: PairwiseCodon codeml.c:4344, BayesPairwise :4612;
+        # 2ML.* matrices written like src/yn00.c:141-167)
+        from .apps import pairwise as pw
+        from .io.outputs import write_pairwise_matrix
+        if extras["runmode"] == -2:
+            res = pw.pairwise_codon(data, codonf=spec.codonf,
+                                    icode=spec.icode, kappa0=spec.kappa,
+                                    omega0=spec.omega,
+                                    fix_kappa=spec.fix_kappa)
+        else:
+            res = pw.bayes_pairwise_codon(data, codonf=spec.codonf,
+                                          icode=spec.icode,
+                                          kappa0=spec.kappa,
+                                          omega0=spec.omega)
+        ns = data.ns
+        mats = {q: np.zeros((ns, ns)) for q in ("t", "dS", "dN")}
+        with open(outfile, "w") as out:
+            out.write(f"CODEML (paml_tpu) pairwise runmode "
+                      f"{extras['runmode']}\n")
+            out.write("seq1 seq2        t    kappa    omega       dN"
+                      "       dS\n")
+            for r in res:
+                t = getattr(r, "t", getattr(r, "t_mean", 0.0))
+                w = getattr(r, "omega", getattr(r, "w_mean", 0.0))
+                kap = getattr(r, "kappa", 0.0)
+                dN = getattr(r, "dN", 0.0)
+                dS = getattr(r, "dS", 0.0)
+                mats["t"][r.i, r.j] = mats["t"][r.j, r.i] = t
+                mats["dS"][r.i, r.j] = mats["dS"][r.j, r.i] = dS
+                mats["dN"][r.i, r.j] = mats["dN"][r.j, r.i] = dN
+                out.write(f"{r.i + 1:4d} {r.j + 1:4d} {t:8.4f} "
+                          f"{kap:8.4f} {w:8.4f} {dN:8.4f} {dS:8.4f}\n")
+        for q in ("t", "dS", "dN"):
+            write_pairwise_matrix(f"2ML.{q}", data.names, mats[q])
+        print(f"pairwise results written to {outfile} + 2ML.*")
+        return
     trees = treeio.read_trees(treefile, data.names)
     ns_list = extras["NSsites_list"] or [spec.NSsites]
     rate_ancestor = extras.get("RateAncestor", 0)

@@ -123,11 +123,14 @@ def simulate_nuc(datfile: str, out="mc.paml", seed=None):
     P, pi_root = nucmod.pmats_for_model(
         model, jnp.asarray(rates), jnp.asarray(pi), ts)
 
+    keys = jax.random.split(key, nrepl)
+    sim = jax.jit(jax.vmap(
+        lambda k: simulate_states(k, topo, P, pi_root, ls, w)))
+    states_all, _ = sim(keys)
+    states_all = np.asarray(states_all)
     with open(out, "w") as f:
         for rep in range(nrepl):
-            key, k = jax.random.split(key)
-            states, _ = simulate_states(k, topo, P, pi_root, ls, w)
-            rows = states_to_rows(np.asarray(states[:topo.ns]), NUC_ORDER)
+            rows = states_to_rows(states_all[rep, :topo.ns], NUC_ORDER)
             write_paml_seqs(f, names, rows)
     return out, nrepl
 
@@ -313,11 +316,14 @@ def simulate_aa(datfile: str, out="mc.paml", seed=None):
     ts = jnp.asarray(blens)[:, None] * r[None, :]
     P = pmat_rev(Q, jnp.asarray(pi), ts)
 
+    keys = jax.random.split(key, nrepl)
+    sim = jax.jit(jax.vmap(
+        lambda k: simulate_states(k, topo, P, jnp.asarray(pi), ls, w)))
+    states_all, _ = sim(keys)
+    states_all = np.asarray(states_all)
     with open(out, "w") as f:
         for rep in range(nrepl):
-            key, k = jax.random.split(key)
-            states, _ = simulate_states(k, topo, P, jnp.asarray(pi), ls, w)
-            rows = states_to_rows(np.asarray(states[:topo.ns]), AA_ORDER)
+            rows = states_to_rows(states_all[rep, :topo.ns], AA_ORDER)
             write_paml_seqs(f, names, rows)
     return out, nrepl
 

@@ -161,6 +161,9 @@ class SpeciesTree:
     # cross-bracing / duplication dating: mirror node -> driver node whose
     # age it shares (reference: stree.duplication, treesub.c:8776-8840)
     mirror_of: dict = field(default_factory=dict)
+    # fossil-error model (p_beta, q_beta, nMinCorrect); None = off
+    # (reference: data.pfossilerror, UpdatePFossilErrors mcmctree.c:4266)
+    pfossilerror: tuple | None = None
 
     @property
     def ns(self):
@@ -288,11 +291,148 @@ def _ln_prior_times_tipdate(st: SpeciesTree, ages: np.ndarray) -> float:
     return lnp
 
 
-def ln_prior_times(st: SpeciesTree, ages: np.ndarray) -> float:
-    """Reference lnpriorTimes = lnptC + lnptNCgiventC (mcmctree.c:3255);
-    TipDate data use the BDS Approach-1 density instead."""
+def _root_calibration(st: SpeciesTree, used) -> tuple | None:
+    """Effective root density: the root's own calibration when used (an L
+    bound is joined with the RootAge upper bound), else the RootAge prior
+    (reference: lnptC root rules, mcmctree.c:3015-3044)."""
+    root = st.root
+    cal = st.calibrations.get(root) if root in used else None
+    if cal is None and st.root_age_prior is not None:
+        cal = st.root_age_prior
+    elif cal is not None and cal[0] == "L":
+        if st.root_age_prior is not None:
+            rb = st.root_age_prior[1]
+            ub = rb[0] if st.root_age_prior[0] == "U" else rb[1]
+            cal = ("B", [cal[1][0], ub, cal[1][3], 0.025])
+    return cal
+
+
+def ln_prior_times(st: SpeciesTree, ages: np.ndarray,
+                   pE: float | None = None) -> float:
+    """Reference lnpriorTimes (mcmctree.c:3255): lnptC + lnptNCgiventC,
+    the BDS Approach-1 density for TipDate data, and the fossil-error
+    mixture over used-fossil combinations when pE is given and
+    st.pfossilerror is active."""
     if st.tip_ages is not None and st.tip_ages.max() > 0:
         return _ln_prior_times_tipdate(st, ages)
+    if (pE is not None and st.pfossilerror is not None
+            and st.calibrations):
+        return _ln_prior_times_fossil_errors(st, ages, pE)
+    return _ln_prior_times_used(st, ages, set(st.calibrations))
+
+
+def _ln_prior_times_fossil_errors(st: SpeciesTree, ages: np.ndarray,
+                                  pE: float) -> float:
+    """Mixture over which fossils are in error (excluded), each term
+    normalized by the Monte-Carlo feasibility constant of its used-fossil
+    combination (reference: lnpriorTimes error arm mcmctree.c:3290-3320,
+    getScaleFossilCombination :3056)."""
+    from itertools import combinations
+
+    import scipy.special as sps
+
+    nMin = int(st.pfossilerror[2]) if len(st.pfossilerror) > 2 else 0
+    fnodes = sorted(st.calibrations)
+    nf = len(fnodes)
+    pE = min(max(pE, 1e-12), 1 - 1e-12)
+    terms = []
+    wsum = 0.0
+    for nused in range(max(nMin, 0), nf + 1):
+        for comb in combinations(fnodes, nused):
+            used = set(comb)
+            w = (1 - pE) ** nused * pE ** (nf - nused)
+            wsum += w
+            lnC = _fossil_scale_constant(st, frozenset(used))
+            lnpt = _ln_prior_times_used(st, ages, used)
+            terms.append(math.log(w) + lnpt - lnC)
+    if not terms:
+        return -np.inf
+    return float(sps.logsumexp(terms)) - math.log(wsum)
+
+
+def _fossil_scale_constant(st: SpeciesTree, used: frozenset,
+                           n_samples: int = 100000) -> float:
+    """ln of the feasibility constant: the probability that node ages
+    drawn independently from the used calibration densities satisfy the
+    ancestor > descendant order (reference: getScaleFossilCombination,
+    mcmctree.c:3056, importance sampling with 5e6 replicates — here
+    grid-inverse-CDF sampling, cached per combination)."""
+    cache = getattr(st, "_fossil_C_cache", None)
+    if cache is None:
+        cache = {}
+        st._fossil_C_cache = cache
+    if used in cache:
+        return cache[used]
+    rng = np.random.default_rng(20260819)
+    topo = st.topo
+    root = st.root
+    nodes = sorted(set(used) | {root})
+    samples = {}
+    for j in nodes:
+        cal = (_root_calibration(st, used) if j == root
+               else st.calibrations[j])
+        if cal is None:              # root unbounded: no constraint value
+            samples[j] = None
+            continue
+        samples[j] = _sample_calibration_density(cal[0], cal[1],
+                                                 n_samples, rng)
+    feas = np.ones(n_samples, bool)
+    for i, a in enumerate(nodes):
+        for b in nodes[:i]:
+            # is b an ancestor of a (or vice versa)?
+            anc, desc = None, None
+            k = a
+            while k != -1:
+                if k == b:
+                    anc, desc = b, a
+                    break
+                k = int(topo.parent[k])
+            if anc is None:
+                k = b
+                while k != -1:
+                    if k == a:
+                        anc, desc = a, b
+                        break
+                    k = int(topo.parent[k])
+            if anc is None or samples[anc] is None or samples[desc] is None:
+                continue
+            feas &= samples[anc] > samples[desc]
+    C = max(float(feas.mean()), 1.0 / n_samples)
+    cache[used] = math.log(C)
+    return cache[used]
+
+
+def _sample_calibration_density(kind: str, p, size: int, rng) -> np.ndarray:
+    """Draw from a calibration density by numeric inverse-CDF on a grid
+    (G uses the exact gamma sampler)."""
+    if kind == "G":
+        return rng.gamma(p[0], 1.0 / p[1], size)
+    # support scale
+    if kind == "L":
+        scale = p[0] * (1 + p[1] + 40 * p[2])
+    elif kind == "U":
+        scale = (p[0] if p[0] else 1.0) * 8
+    elif kind == "B":
+        scale = p[1] * 4
+    elif kind == "SN":
+        scale = abs(p[0]) + 12 * abs(p[1])
+    elif kind == "ST":
+        scale = abs(p[0]) + 20 * abs(p[1])
+    elif kind == "S2N":
+        scale = abs(p[1]) + abs(p[4]) + 12 * (abs(p[2]) + abs(p[5]))
+    else:
+        scale = 10.0
+    grid = np.linspace(1e-9, max(scale, 1e-6), 16384)
+    lp = np.array([_ln_calibration_density(t, kind, p) for t in grid])
+    dens = np.exp(lp - lp.max())
+    cdf = np.cumsum(dens)
+    cdf /= cdf[-1]
+    u = rng.random(size)
+    return np.interp(u, cdf, grid)
+
+
+def _ln_prior_times_used(st: SpeciesTree, ages: np.ndarray,
+                         used) -> float:
     topo = st.topo
     root = st.root
     t1 = ages[root]
@@ -302,19 +442,11 @@ def ln_prior_times(st: SpeciesTree, ages: np.ndarray) -> float:
     # --- lnptC: calibration densities (incl. root) ---
     for j in st.internal_nodes():
         if j == root:
-            cal = st.calibrations.get(j)
-            if cal is None and st.root_age_prior is not None:
-                cal = st.root_age_prior
-            elif cal is not None and cal[0] == "L":
-                # root lower bound -> joint bounds with RootAge upper
-                if st.root_age_prior is not None:
-                    rb = st.root_age_prior[1]
-                    ub = rb[0] if st.root_age_prior[0] == "U" else rb[1]
-                    cal = ("B", [cal[1][0], ub, cal[1][3], 0.025])
+            cal = _root_calibration(st, used)
             if cal is not None:
                 lnpt += _ln_calibration_density(ages[j], cal[0], cal[1])
             continue
-        cal = st.calibrations.get(j)
+        cal = st.calibrations.get(j) if j in used else None
         if cal is not None:
             lnpt += _ln_calibration_density(ages[j], cal[0], cal[1])
 
@@ -335,8 +467,7 @@ def ln_prior_times(st: SpeciesTree, ages: np.ndarray) -> float:
         p0t1 = rho / (1 + rho * mu * t1)
         vt1 = mu * t1 * p0t1
     noncal = [j for j in st.internal_nodes()
-              if j != root and (st.multiplicative
-                                or j not in st.calibrations)]
+              if j != root and (st.multiplicative or j not in used)]
     for j in noncal:
         lnpt += _bds_pdf_ln(ages[j], t1, vt1, lam, mu, rho)
     if st.multiplicative:
@@ -346,7 +477,7 @@ def ln_prior_times(st: SpeciesTree, ages: np.ndarray) -> float:
     # (eq. 9 in Yang & Rannala 2006; reference mcmctree.c:2850-2900)
     tall = np.sort([ages[j] for j in st.internal_nodes()])
     tc = np.sort([ages[j] for j in st.internal_nodes()
-                  if j != root and j in st.calibrations])
+                  if j != root and j in used])
     n1 = len(tall)
     if len(tc):
         ranktc = []
@@ -923,6 +1054,11 @@ class MCMCTree:
                 for mj, mi in st.mirror_of.items():
                     ages[mj] = ages[mi]
         self.ages = ages
+        if self.st.pfossilerror is not None:
+            pb, qb = self.st.pfossilerror[0], self.st.pfossilerror[1]
+            self.Pfossilerr = pb / (pb + qb)
+        else:
+            self.Pfossilerr = None
         self.mu = np.maximum(rng.gamma(spec.rgene_gamma[0],
                                        1 / spec.rgene_gamma[1], self.g), 1e-4)
         self.sigma2 = np.maximum(rng.gamma(spec.sigma2_gamma[0],
@@ -939,7 +1075,8 @@ class MCMCTree:
     # -- probability pieces -------------------------------------------
 
     def lnpT(self):
-        return ln_prior_times(self.st, self.ages)
+        return ln_prior_times(self.st, self.ages,
+                              getattr(self, "Pfossilerr", None))
 
     def lnpR(self):
         if self.spec.clock == 1:
@@ -1371,6 +1508,23 @@ class MCMCTree:
                     ntry[kname][:] = 0
                 next_adjust += spec.burnin // 4
 
+            # ---- update the fossil-error probability ----
+            # (reference: UpdatePFossilErrors, mcmctree.c:4266)
+            if self.Pfossilerr is not None:
+                pb, qb = st.pfossilerror[0], st.pfossilerror[1]
+                pold = self.Pfossilerr
+                pnew = _reflect(pold + steps["mix"][0] * self.bactrian(),
+                                1e-9, 1 - 1e-9, rng)
+                self.Pfossilerr = pnew
+                lnpTnew = self.lnpT()
+                lnacc = ((pb - 1) * math.log(pnew / pold)
+                         + (qb - 1) * math.log((1 - pnew) / (1 - pold))
+                         + lnpTnew - lnpT)
+                if lnacc >= 0 or rng.random() < math.exp(max(lnacc, -500)):
+                    lnpT = lnpTnew
+                else:
+                    self.Pfossilerr = pold
+
             # ---- periodic lnL/prior consistency audit ----
             if (it + spec.burnin) % audit_every == audit_every - 1:
                 lnpT2, lnpR2 = self.lnpT(), self.lnpR()
@@ -1386,6 +1540,8 @@ class MCMCTree:
             # ---- sample ----
             if it >= 0 and it % spec.sampfreq == 0:
                 rec = {"lnL": float(lnpDi.sum())}
+                if self.Pfossilerr is not None:
+                    rec["Pfossilerr"] = self.Pfossilerr
                 for j, node in enumerate(st.internal_nodes()):
                     rec[f"t_n{node}"] = self.ages[node]
                 for l in range(g):
@@ -1508,6 +1664,12 @@ def run_ctl(opts: dict, ctl_path: str, progress=True):
                             multiplicative=spec.multiplicative,
                             duplication=bool(int(float(
                                 g("duplication", "0")))))
+    pfe = str(g("pfossilerror", "0")).split()
+    if pfe and float(pfe[0]) > 0:
+        st.pfossilerror = tuple(float(v) for v in pfe[:3]) \
+            if len(pfe) >= 3 else (float(pfe[0]),
+                                   float(pfe[1]) if len(pfe) > 1 else 1.0,
+                                   0.0)
     tipdate_toks = str(g("TipDate", "0")).split()
     if tipdate_toks and int(float(tipdate_toks[0])):
         timeunit = (float(tipdate_toks[1])

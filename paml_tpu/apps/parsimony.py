@@ -70,3 +70,87 @@ def site_change_counts(topo: Topology, data: seqio.PackedData) -> np.ndarray:
             acc = np.where(nz, inter, acc | buf[c])
         buf[node] = acc
     return changes
+
+
+def pathway_mp(topo: Topology, data: seqio.PackedData, max_paths: int = 256):
+    """Enumerate the most-parsimonious reconstructions per site pattern
+    (Hartigan 1973; reference: PathwayMP, src/treesub.c:5642).
+
+    Returns a list over patterns of dicts with `n_changes`, `n_paths`
+    (exact count via the counting DP), and `paths` — up to `max_paths`
+    internal-state assignments [n_internal] in node order ns..nnode-1.
+    """
+    import numpy as np
+
+    n = data.nstates
+    states = np.argmax(data.tip_partials, axis=-1)       # clean data
+    BIG = 10 ** 9
+    internals = list(topo.postorder)
+    out = []
+    for h in range(data.npatt):
+        cost = {}
+        cnt = {}
+        for tip in range(topo.ns):
+            c = np.full(n, BIG)
+            c[states[tip, h]] = 0
+            cost[tip] = c
+            cnt[tip] = (c == 0).astype(object)
+        for v in internals:
+            kids = [int(k) for k in topo.children[v] if k >= 0]
+            cv = np.zeros(n)
+            ct = np.ones(n, dtype=object)
+            for k in kids:
+                # min over child state t of cost[k][t] + (t != s)
+                trans = cost[k][None, :] + (1 - np.eye(n))
+                best = trans.min(1)
+                cv = cv + best
+                # count of optimal child states per parent state
+                mult = np.array(
+                    [sum(cnt[k][t] for t in range(n)
+                         if trans[s, t] == best[s]) for s in range(n)],
+                    dtype=object)
+                ct = ct * mult
+            cost[v] = cv
+            cnt[v] = ct
+        root = topo.root
+        mc = int(cost[root].min())
+        n_paths = int(sum(cnt[root][s] for s in range(n)
+                          if cost[root][s] == mc))
+
+        # materialize up to max_paths assignments top-down
+        paths = []
+
+        def expand(assign, order_idx):
+            if len(paths) >= max_paths:
+                return
+            if order_idx == len(preorder_int):
+                paths.append([assign[v] for v in
+                              range(topo.ns, topo.nnode)])
+                return
+            v = preorder_int[order_idx]
+            par = int(topo.parent[v])
+            if par == -1:
+                choices = [s for s in range(n)
+                           if cost[v][s] == mc]
+            else:
+                ps = assign[par]
+                trans = cost[v] + (np.arange(n) != ps)
+                best = trans.min()
+                choices = [s for s in range(n) if trans[s] == best]
+            for s in choices:
+                assign[v] = s
+                expand(assign, order_idx + 1)
+                if len(paths) >= max_paths:
+                    return
+
+        preorder_int = []
+        stack = [topo.root]
+        while stack:
+            v = stack.pop()
+            preorder_int.append(v)
+            for c in topo.children[v]:
+                if c >= topo.ns:
+                    stack.append(int(c))
+        expand({}, 0)
+        out.append(dict(n_changes=mc, n_paths=n_paths, paths=paths))
+    return out

