@@ -277,6 +277,9 @@ def run_codeml(ctl_path: str) -> None:
                                                 precision=5) + "\n")
                 write_rst1("rst1", [res.lnL] + [float(v) for v in res.x],
                            append=True)
+                if (sp.seqtype == 1 and ns_model == 0 and not sp.aaDist
+                        and sp.clock == 0 and sp.fix_blength != 2):
+                    _write_branch_dnds(out, data, sp, res)
                 # side outputs on the first NSsites model (reference
                 # layout: one lnf per run; rst accumulates per model)
                 if sp.seqtype == 1 and not sp.aaDist:
@@ -335,6 +338,49 @@ def run_codeml(ctl_path: str) -> None:
                           f" {stats['pSH'][i]:8.4f}\n")
     frst.close()
     print(f"results written to {outfile}")
+
+
+def _write_branch_dnds(out, data, sp, res) -> None:
+    """'dN & dS for each branch' table (reference: DetailOutput via
+    eigenQcodon mode=2, src/codeml.c:3357-3377)."""
+    import numpy as np
+
+    from .models import codon as codonmod
+
+    graph = codonmod.codon_graph(sp.icode)
+    import jax.numpy as jnp
+    fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
+        data.tip_partials, data.fpatt, graph, data.pos_masks)
+    pf3x4 = codonmod.mg_pf3x4(sp.codonf, f3x4, f1x4)
+    kap = (res.kappa if sp.hkyREV else float(res.kappa[0])) \
+        if res.kappa.size else sp.kappa
+    pi = jnp.asarray(res.pi)
+    if sp.codonf in ("FMutSel", "FMutSel0"):
+        pf = jnp.asarray(res.params["pf_TCAG"])
+        s = codonmod.mutation_part(graph, kap,
+                                   np.tile(np.asarray(pf)[None], (3, 1)),
+                                   sp.hkyREV)
+        s = s * codonmod.fmutsel_multiplier(graph, pf, pi, data.ls)
+    else:
+        s = codonmod.mutation_part(graph, kap, pf3x4, sp.hkyREV)
+    W = res.class_omegas
+    topo = res.topo
+    out.write("\ndN & dS for each branch\n")
+    out.write(f"{'branch':>10s} {'t':>8s} {'N':>9s} {'S':>9s} "
+              f"{'dN/dS':>8s} {'dN':>8s} {'dS':>8s}\n")
+    labels = topo.labels
+    for bi, node in enumerate(res.branch_nodes):
+        if W.shape[0] > 1:
+            btype = (bi if sp.model == 1 else int(labels[node]))
+            w = float(W[min(btype, W.shape[0] - 1), 0])
+        else:
+            w = float(W[0, 0])
+        st_ = codonmod.branch_dnds(graph, s, pi, w,
+                                   float(res.blens[bi]), data.ls)
+        par = int(topo.parent[node]) + 1
+        out.write(f"{par:>5d}..{node + 1:<4d}{st_['t']:8.3f} "
+                  f"{st_['N']:9.1f} {st_['S']:9.1f} {st_['w']:8.4f} "
+                  f"{st_['dN']:8.4f} {st_['dS']:8.4f}\n")
 
 
 def _write_ancestral_rst(frst, data, topo, sp, neg, xj, res) -> None:

@@ -378,6 +378,25 @@ def mean_rate(graph: CodonGraph, s, omega, pi):
     return rs + omega * ra
 
 
+def branch_dnds(graph: CodonGraph, s, pi, omega, t, ls: int):
+    """Per-branch dN/dS statistics (reference: eigenQcodon mode=2,
+    src/codeml.c:3357-3377): S/N expected site counts and dS/dN for a
+    branch of length t (substitutions per codon) under omega."""
+    rs, ra = (float(v) for v in flux(graph, s, pi))
+    w = float(omega)
+    mr = rs + w * ra
+    tot0 = rs + ra
+    rho_s, rho_a = rs / tot0, ra / tot0
+    S = rho_s * 3 * ls
+    N = rho_a * 3 * ls
+    if t <= 0 or mr <= 0:
+        return dict(t=float(t), S=S, N=N, w=w, dN=0.0, dS=0.0)
+    dS = t * (rs / mr) / (3 * rho_s)
+    dN = t * (w * ra / mr) / (3 * rho_a)
+    return dict(t=float(t), S=S, N=N, w=(dN / dS if dS > 0 else -1.0),
+                dN=dN, dS=dS)
+
+
 def build_Q_pair(graph: CodonGraph, s, w_pair, pi, dtype=None):
     """Unnormalized Q with a per-single-step-pair omega factor
     (reference: GetOmega applied inside eigenQcodon, src/codeml.c:3298-3301
