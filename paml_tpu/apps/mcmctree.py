@@ -505,23 +505,24 @@ def _ln_prior_times_used(st: SpeciesTree, ages: np.ndarray,
     return lnpt
 
 
-def ln_prior_rates(st: SpeciesTree, rates: np.ndarray, mu: np.ndarray,
-                   sigma2: np.ndarray, ages: np.ndarray, clock: int) -> float:
-    """Clock 2 (iid log-normal) and clock 3 (geometric Brownian) branch-rate
-    priors (reference: lnpriorRates, mcmctree.c:3751).  rates: [nnode, g]."""
+def ln_prior_rates_per_locus(st: SpeciesTree, rates: np.ndarray,
+                             mu: np.ndarray, sigma2: np.ndarray,
+                             ages: np.ndarray, clock: int) -> np.ndarray:
+    """Per-locus clock 2/3 branch-rate log priors ([g]); the total is
+    their sum (reference: lnpriorRates, mcmctree.c:3751).  The
+    factorization over loci powers batched rate/parameter proposals with
+    independent per-locus accept/reject."""
     topo = st.topo
     g = rates.shape[1]
     s = topo.ns
     root = st.root
-    lnpR = -0.5 * math.log(2 * math.pi) * (2 * s - 2) * g
+    lnpR = np.full(g, -0.5 * math.log(2 * math.pi) * (2 * s - 2))
     if clock == 2:
-        lnpR -= np.log(sigma2).sum() / 2.0 * (2 * s - 2)
-        for inode in range(topo.nnode):
-            if inode == root:
-                continue
-            r = rates[inode]
-            zz = np.log(r / mu) + sigma2 / 2
-            lnpR += float(np.sum(-zz * zz / (2 * sigma2) - np.log(r)))
+        lnpR -= np.log(sigma2) / 2.0 * (2 * s - 2)
+        nonroot = np.array([i for i in range(topo.nnode) if i != root])
+        r = rates[nonroot]                       # [nb, g]
+        zz = np.log(r / mu[None, :]) + sigma2[None, :] / 2
+        lnpR += (-zz * zz / (2 * sigma2[None, :]) - np.log(r)).sum(0)
         return lnpR
     if clock == 3:
         for inode in range(topo.nnode):
@@ -535,18 +536,24 @@ def ln_prior_rates(st: SpeciesTree, rates: np.ndarray, mu: np.ndarray,
             t2 = (t - ages[kids[1]]) / 2
             detT = t1 * t2 + tA * (t1 + t2)
             if detT <= 0:
-                return -np.inf
+                return np.full(g, -np.inf)
             Ti = np.array([(tA + t2), -tA, (tA + t1)]) / detT
             rA = mu if inode == root else rates[inode]
             r1, r2 = rates[kids[0]], rates[kids[1]]
             y1 = np.log(r1 / rA) + (tA + t1) * sigma2 / 2
             y2 = np.log(r2 / rA) + (tA + t2) * sigma2 / 2
             zz = y1 * y1 * Ti[0] + 2 * y1 * y2 * Ti[1] + y2 * y2 * Ti[2]
-            lnpR -= float(np.sum(zz / (2 * sigma2)
-                                 + np.log(detT * sigma2 ** 2) / 2
-                                 + np.log(r1 * r2)))
+            lnpR -= (zz / (2 * sigma2) + np.log(detT * sigma2 ** 2) / 2
+                     + np.log(r1 * r2))
         return lnpR
-    return 0.0
+    return np.zeros(g)
+
+
+def ln_prior_rates(st: SpeciesTree, rates: np.ndarray, mu: np.ndarray,
+                   sigma2: np.ndarray, ages: np.ndarray, clock: int) -> float:
+    """Total clock 2/3 branch-rate prior (sum of the per-locus terms)."""
+    return float(ln_prior_rates_per_locus(st, rates, mu, sigma2, ages,
+                                          clock).sum())
 
 
 def ln_prior_gamma_dirichlet(para: np.ndarray, gD) -> float:
@@ -1196,10 +1203,11 @@ class MCMCTree:
         fn = jax.jit(jax.vmap(lnl))
 
         def run(blens_G, kappa_G, alpha_G):
-            return np.asarray(fn(tips_j, fpatt_j, pis_j,
-                                 jnp.asarray(blens_G),
-                                 jnp.asarray(kappa_G),
-                                 jnp.asarray(alpha_G)))
+            # np.array (copy): the chain mutates lnpDi entries in place
+            return np.array(fn(tips_j, fpatt_j, pis_j,
+                               jnp.asarray(blens_G),
+                               jnp.asarray(kappa_G),
+                               jnp.asarray(alpha_G)))
         self._exact_batch = run
         return True
 
@@ -1338,55 +1346,76 @@ class MCMCTree:
                         para[l] = pold
 
             # ---- update branch rates (clock 2/3) ----
+            # one batched lnL_all per node: locus likelihoods and the
+            # rate prior factorize over loci, so proposals for every
+            # locus's rate at this node are accepted/rejected
+            # independently (reference loops loci serially,
+            # UpdateRates mcmctree.c:3872 — same stationary distribution)
             if clock > 1:
-                for l in range(g):
-                    for node in range(topo.nnode):
-                        if node == st.root:
-                            continue
-                        rold = self.rates[node, l]
-                        y = math.log(rold)
-                        ynew = _reflect(y + steps["r"][0] * self.bactrian(),
-                                        -99, 99, rng)
-                        self.rates[node, l] = math.exp(ynew)
-                        lnpRnew = self.lnpR()
-                        v = self.lnL_locus(l)
-                        lnacc = ((ynew - y) + lnpRnew - lnpR
-                                 + v - lnpDi[l])
-                        ntry["r"][0] += 1
-                        if (lnacc >= 0
-                                or rng.random() < math.exp(max(lnacc, -500))):
-                            lnpR = lnpRnew
-                            lnpDi[l] = v
-                            nacc["r"][0] += 1
-                        else:
-                            self.rates[node, l] = rold
+                lnpR_loc = ln_prior_rates_per_locus(
+                    st, self.rates, self.mu, self.sigma2, self.ages,
+                    clock)
+                for node in range(topo.nnode):
+                    if node == st.root:
+                        continue
+                    rold = self.rates[node, :].copy()
+                    y = np.log(rold)
+                    ynew = np.array(
+                        [_reflect(y[l] + steps["r"][0] * self.bactrian(),
+                                  -99, 99, rng) for l in range(g)])
+                    self.rates[node, :] = np.exp(ynew)
+                    lnpR_new = ln_prior_rates_per_locus(
+                        st, self.rates, self.mu, self.sigma2, self.ages,
+                        clock)
+                    lnpD_new = self.lnL_all()
+                    lnacc_l = ((ynew - y) + (lnpR_new - lnpR_loc)
+                               + (lnpD_new - lnpDi))
+                    acc = ((lnacc_l >= 0)
+                           | (rng.random(g)
+                              < np.exp(np.maximum(lnacc_l, -500))))
+                    ntry["r"][0] += g
+                    nacc["r"][0] += int(acc.sum())
+                    if not acc.all():
+                        self.rates[node, ~acc] = rold[~acc]
+                        lnpR_new = ln_prior_rates_per_locus(
+                            st, self.rates, self.mu, self.sigma2,
+                            self.ages, clock)
+                        lnpD_new = np.where(acc, lnpD_new, lnpDi)
+                    lnpR_loc = lnpR_new
+                    lnpDi = lnpD_new
+                lnpR = float(lnpR_loc.sum())
 
             # ---- update substitution parameters (usedata=1) ----
+            # batched over loci per parameter (kappa_l/alpha_l touch only
+            # locus l's likelihood and an independent gamma prior)
             if spec.usedata == 1:
-                for l in range(g):
-                    for ip, (para, gpr) in enumerate(
-                            [(self.kappa, spec.kappa_gamma),
-                             (self.alpha_g, spec.alpha_gamma)]):
-                        if ip == 1 and spec.alpha == 0:
-                            continue
+                for ip, (para, gpr) in enumerate(
+                        [(self.kappa, spec.kappa_gamma),
+                         (self.alpha_g, spec.alpha_gamma)]):
+                    if ip == 1 and spec.alpha == 0:
+                        continue
+                    pold = para.copy()
+                    y = np.log(pold)
+                    ynew = np.array(
+                        [_reflect(y[l] + steps["par"][ip * g + l]
+                                  * self.bactrian(), -99, 99, rng)
+                         for l in range(g)])
+                    para[:] = np.exp(ynew)
+                    lnpD_new = self.lnL_all()
+                    lnacc_l = ((ynew - y) + (lnpD_new - lnpDi)
+                               + (gpr[0] - 1) * (ynew - y)
+                               - gpr[1] * (para - pold))
+                    acc = ((lnacc_l >= 0)
+                           | (rng.random(g)
+                              < np.exp(np.maximum(lnacc_l, -500))))
+                    for l in range(g):
                         k = ip * g + l
-                        pold = para[l]
-                        y = math.log(pold)
-                        ynew = _reflect(
-                            y + steps["par"][k] * self.bactrian(),
-                            -99, 99, rng)
-                        para[l] = math.exp(ynew)
-                        v = self.lnL_locus(l)
-                        lnacc = ((ynew - y) + v - lnpDi[l]
-                                 + (gpr[0] - 1) * (ynew - y)
-                                 - gpr[1] * (para[l] - pold))
                         ntry["par"][k] += 1
-                        if (lnacc >= 0
-                                or rng.random() < math.exp(max(lnacc, -500))):
-                            lnpDi[l] = v
-                            nacc["par"][k] += 1
-                        else:
-                            para[l] = pold
+                        nacc["par"][k] += int(acc[l])
+                    if not acc.all():
+                        para[~acc] = pold[~acc]
+                        lnpD_new = np.where(acc, lnpD_new, lnpDi)
+                    lnpDi = lnpD_new
 
             # ---- mixing ----
             lnc = steps["mix"][0] * self.bactrian()
