@@ -89,6 +89,32 @@ def run_baseml(ctl_path: str) -> None:
 
     aln = seqio.read_alignment(seqfile, seqio.BASE_SEQ)
     data = seqio.pack(aln, cleandata=spec.cleandata)
+    runmode = extras.get("runmode", 0)
+    if runmode in (2, 3, 4, 5):
+        # tree search (reference: runmode 2 star decomposition, 3 stepwise
+        # addition, 4/5 NNI perturbation; treesub.c:4642-5170)
+        from .apps import treesearch
+
+        def fit_fn(topo_, sub):
+            return baseml.fit_packed(sub, topo_, spec).lnL
+
+        if runmode == 3:
+            tree, score = treesearch.stepwise_addition_ml(
+                data, fit_fn, progress=True)
+        elif runmode == 2:
+            tree, score = treesearch.star_decomposition(
+                data, lambda t_, d_: fit_fn(t_, d_), progress=True)
+        else:
+            start, _ = treesearch.stepwise_addition_mp(data)
+            tree, score = treesearch.nni_search_ml(
+                data, start, lambda t_: fit_fn(t_, data))
+        with open(outfile, "w") as out:
+            out.write(f"BASEML (paml_tpu) tree search runmode {runmode}\n")
+            out.write(f"best lnL = {score:.6f}\n")
+            out.write(treeio.write_newick(tree, branch_lengths=False)
+                      + "\n")
+        print(f"tree search done: lnL {score:.6f} -> {outfile}")
+        return
     trees = treeio.read_trees(treefile, data.names)
     rate_ancestor = extras.get("RateAncestor", 0)
     site_lnf_trees = []
@@ -174,23 +200,42 @@ def run_codeml(ctl_path: str) -> None:
 
     opts = ctlmod.read_ctl(ctl_path)
     spec, seqfile, treefile, outfile, extras = ctlmod.codeml_spec(opts, ctl_path)
+    from .core.optim import set_rub
+    open("rub", "w").close()
+    set_rub("rub")
     seqtype = (seqio.AA_SEQ if spec.seqtype == 2 else
                seqio.CODON2AA_SEQ if spec.seqtype == 3 else seqio.CODON_SEQ)
     ndata = extras.get("ndata", 1)
     if ndata > 1:
         # multiple data sets stacked in one seqfile (reference: the ndata
-        # loop, src/codeml.c:372): run each and append ' dataset i' tags
+        # loop, src/codeml.c:372).  Tree handling per
+        # examples/ndata/README.txt: shared tree block, per-dataset tree
+        # blocks ('separate_trees'), or subtrees pruned from a main tree
+        # ('maintree')
+        mode = extras.get("ndata_mode", "shared")
         alns = seqio.read_alignments(seqfile, seqtype, ndata)
+        tree_strs = treeio.read_tree_strings(treefile)
+        main_tree = (treeio.parse_newick(tree_strs[0])
+                     if mode == "maintree" else None)
         for i, a in enumerate(alns):
             print(f"\nData set {i + 1}")
             d = seqio.pack(a, cleandata=spec.cleandata, icode=spec.icode)
-            trees_i = treeio.read_trees(treefile, d.names)
-            topo_i = from_treenode(trees_i[0], d.names)
+            if mode == "separate_trees":
+                tree_i = treeio.parse_newick(tree_strs[i])
+                treeio._resolve_names(tree_i, d.names)
+            elif mode == "maintree":
+                import copy
+                tree_i = treeio.prune_to(copy.deepcopy(main_tree),
+                                         d.names)
+                treeio._resolve_names(tree_i, d.names)
+            else:
+                tree_i = treeio.read_trees(treefile, d.names)[0]
+            topo_i = from_treenode(tree_i, d.names)
             res = (codeml.fit_aa_packed(d, topo_i, spec)
                    if spec.seqtype in (2, 3)
                    else codeml.fit_packed(d, topo_i, spec))
-            mode = "a" if i else "w"
-            with open(outfile, mode) as out:
+            fmode = "a" if i else "w"
+            with open(outfile, fmode) as out:
                 out.write(f"\nData set {i + 1}\n")
                 out.write(f"lnL(ntime: {len(res.blens)}  np: {res.np}): "
                           f"{res.lnL:.6f}\n")

@@ -30,6 +30,18 @@ class FitResult:
     message: str = ""
 
 
+import os
+
+_RUB_PATH = os.environ.get("PAML_TPU_RUB")   # optimizer trace file (rub)
+
+
+def set_rub(path: str | None) -> None:
+    """Write an optimizer-iteration trace to `path` (the reference's rub
+    file, written by ming2's fout argument; Forestry codeml.c:756)."""
+    global _RUB_PATH
+    _RUB_PATH = path
+
+
 def maximize(neg_fn: Callable, x0: np.ndarray,
              bounds: list[tuple[float, float]] | None = None,
              tol: float = 1e-9, maxiter: int = 2000,
@@ -43,6 +55,7 @@ def maximize(neg_fn: Callable, x0: np.ndarray,
 
     vg = jax.jit(jax.value_and_grad(neg_fn))
     n_eval = [0]
+    rub = open(_RUB_PATH, "a") if _RUB_PATH else None
 
     def fun(x):
         v, g = vg(jnp.asarray(x))
@@ -52,6 +65,9 @@ def maximize(neg_fn: Callable, x0: np.ndarray,
         if not np.isfinite(v):
             v = 1e100
             g = np.where(np.isfinite(g), g, 0.0)
+        if rub is not None:
+            rub.write(f"{n_eval[0]:6d} {-v:16.6f} "
+                      f"{float(np.abs(g).max()):12.5g}\n")
         return v, g
 
     starts = [np.asarray(x0, dtype=np.float64)]
@@ -79,6 +95,8 @@ def maximize(neg_fn: Callable, x0: np.ndarray,
                 break
         if best is None or res.fun < best.fun:
             best = res
+    if rub is not None:
+        rub.close()
     return FitResult(x=np.asarray(best.x), lnL=-float(best.fun),
                      n_eval=n_eval[0], converged=bool(best.success),
                      message=str(best.message))

@@ -145,11 +145,12 @@ def _tip_contribs(P, tipsT, topo: Topology):
     return jnp.einsum("tih,tcji->tcjh", tipsT, P[:ns], precision=_PRECISION)
 
 
-def _forward_levels(P, tipsT, topo: Topology):
+def _forward_levels(P, tipsT, topo: Topology, want_contribs=False):
     """Upward level sweep (tipsT: [ns, n, H]).
 
     Returns (s, m): dicts node -> scaled partial [C, n, H] (internal nodes
-    only) and node -> scale factor [C, H]."""
+    only) and node -> scale factor [C, H]; with want_contribs also the
+    per-node contribution dict (backward-pass residuals)."""
     ctip = _tip_contribs(P, tipsT, topo)
     c = {t: ctip[t] for t in range(topo.ns)}
     s: dict[int, jnp.ndarray] = {}
@@ -180,6 +181,8 @@ def _forward_levels(P, tipsT, topo: Topology):
                             precision=_PRECISION)
             for w, node in enumerate(emit_nodes):
                 c[node] = cv[w]
+    if want_contribs:
+        return s, m, c
     return s, m
 
 
@@ -201,16 +204,16 @@ def _class_site_lnf_lvl(P, tips, topo: Topology, pi):
 
 def _lnf_lvl_fwd(P, tips, topo, pi):
     tipsT = _tipsT_of(tips, P.dtype)
-    s, m = _forward_levels(P, tipsT, topo)
+    s, m, c = _forward_levels(P, tipsT, topo, want_contribs=True)
     F = jnp.einsum("cnh,cn->ch", s[topo.root], pi)
     F = jnp.maximum(F, jnp.finfo(F.dtype).tiny)
     logm = jnp.sum(jnp.log(jnp.stack(list(m.values()))), axis=0)
     lnf = jnp.log(F) + logm
-    return lnf, (P, tipsT, s, m, F, pi)
+    return lnf, (P, tipsT, s, m, c, F, pi)
 
 
 def _lnf_lvl_bwd(topo, res, gbar):
-    P, tipsT, s, m, F, pi = res
+    P, tipsT, s, m, c, F, pi = res
     ns = topo.ns
     dtype = P.dtype
     C, n = P.shape[1], P.shape[3]
@@ -223,19 +226,6 @@ def _lnf_lvl_bwd(topo, res, gbar):
         if state_tips:
             return jax.nn.one_hot(tipsT[k], n, axis=0, dtype=dtype)
         return tipsT[k]
-
-    # recompute all contributions (cheaper than storing them): tips in one
-    # einsum; internal nodes in one einsum (they only depend on stored s).
-    ctip = _tip_contribs(P, tipsT, topo)
-    c = {t: ctip[t] for t in range(ns)}
-    int_nodes = [node for lv in levels for node, _ in lv
-                 if node != topo.root]
-    if int_nodes:
-        S = jnp.stack([s[v] for v in int_nodes])
-        cv = jnp.einsum("wcih,wcji->wcjh", S, P[np.array(int_nodes)],
-                        precision=_PRECISION)
-        for w, v in enumerate(int_nodes):
-            c[v] = cv[w]
 
     A: dict[int, jnp.ndarray] = {
         topo.root: gbar[:, None, :] * pi[:, :, None] / F[:, None, :]}

@@ -41,6 +41,19 @@ def _first_num(v: str):
     return _num(m.group(0)) if m else 0
 
 
+def _ndata_mode(v: str) -> str:
+    """'ndata = 3 [separate_trees | maintree [0|1]]' (reference:
+    examples/ndata/README.txt, codeml.c:1739-1747)."""
+    toks = str(v).split()
+    if len(toks) < 2:
+        return "shared"
+    if toks[1].startswith("separate"):
+        return "separate_trees"
+    if toks[1].startswith("maintree"):
+        return "maintree"
+    return "shared"
+
+
 def resolve_path(base_ctl: str, p: str) -> str:
     """Paths in ctl files are relative to the ctl file's directory."""
     if os.path.isabs(p):
@@ -141,6 +154,7 @@ def codeml_spec(opts: dict, ctl_path: str):
         "runmode": int(_first_num(g("runmode", "0"))),
         "clock": int(_first_num(g("clock", "0"))),
         "ndata": int(_first_num(g("ndata", "1"))),
+        "ndata_mode": _ndata_mode(g("ndata", "1")),
         "NSsites_list": ns_list,
         "RateAncestor": int(_first_num(g("RateAncestor", "0"))),
     }

@@ -295,3 +295,49 @@ def parse_calibration(ann: str):
     if upper:
         return "U", [float(upper.group(1))]
     return None
+
+
+def prune_to(root: TreeNode, keep_names) -> TreeNode:
+    """Subtree restricted to `keep_names`: drop other tips, collapse
+    unary internal nodes (their branch lengths add), like the reference's
+    GetSubTreeN (src/treesub.c:3375) used by the ndata maintree modes."""
+    import copy
+
+    keep = set(keep_names)
+
+    def rec(node: TreeNode) -> TreeNode | None:
+        if node.is_tip:
+            return copy.deepcopy(node) if node.name in keep else None
+        kids = [rec(c) for c in node.children]
+        kids = [k for k in kids if k is not None]
+        if not kids:
+            return None
+        if len(kids) == 1:
+            child = kids[0]
+            if node.blen is not None or child.blen is not None:
+                child.blen = (node.blen or 0.0) + (child.blen or 0.0)
+            return child
+        new = TreeNode(children=kids, name=node.name, blen=node.blen,
+                       label=node.label, clade_label=node.clade_label,
+                       age=node.age, annotation=node.annotation)
+        return new
+
+    out = rec(root)
+    if out is None or out.is_tip:
+        raise ValueError("pruned tree has fewer than 2 tips")
+    out.blen = None
+    return out
+
+
+def read_tree_strings(path: str) -> list[str]:
+    """Raw newick strings from a tree file (ignoring 'ns ntree' headers and
+    comments) — used by ndata separate_trees where each block may use a
+    different taxon set."""
+    import re as _re
+
+    text = open(path).read()
+    idx = text.find("// end")
+    if idx > 0:
+        text = text[:idx]
+    return [m.group(0) for m in
+            _re.finditer(r"\([^;]*\)[^;]*;", text, flags=_re.S)]

@@ -43,3 +43,22 @@ def test_mgene_codon_golden(mgene, tmp_path):
     assert res.np == np_want
     assert res.lnL == pytest.approx(want, abs=2e-4)
     assert res.lnL <= want + 1e-2
+
+
+@pytest.mark.parametrize("ctl", ["codeml-ndata.ctl",
+                                 "codeml-ndata-maintree-ml.ctl"])
+def test_ndata_modes_cli(ctl, tmp_path, monkeypatch):
+    """ndata separate_trees / maintree modes (examples/ndata/README.txt):
+    per-dataset lnLs match a fresh reference run exactly."""
+    import re
+
+    from paml_tpu.__main__ import run_codeml
+
+    monkeypatch.chdir(tmp_path)
+    run_codeml(conftest.ref_path("examples", "ndata", ctl))
+    text = open(tmp_path / "mlc").read()
+    lnls = [float(v) for v in re.findall(r"lnL.*?(-\d+\.\d+)", text)]
+    golden = [-2489.832647, -2068.795718, -1749.849536]
+    assert len(lnls) == 3
+    for got, want in zip(lnls, golden):
+        assert got == pytest.approx(want, abs=2e-4)
