@@ -32,10 +32,13 @@ import numpy as np
 from ..core import pruning
 from ..core.dgamma import discrete_gamma
 from ..core.optim import FitResult, maximize
+from ..core.pmat import pmat_rev
 from ..core.topology import Topology, from_treenode
 from ..io import seqio, treeio
+from ..models import codon as codonmod
 from ..models import nuc
 from . import baseml as baseml_app
+from . import codeml as codeml_app
 
 SMALL_AGE_FRAC = 1e-20
 
@@ -86,7 +89,7 @@ def prune_to_taxa(sp_root: treeio.TreeNode, keep: set[str]) -> treeio.TreeNode:
 
 def read_tree_seqs(treefile: str, seqfile: str, ngene: int,
                    seqtype: int = seqio.BASE_SEQ,
-                   cleandata: bool = False) -> HeteroData:
+                   cleandata: bool = False, icode: int = 0) -> HeteroData:
     """Read the species tree (with '@' fossil ages) and `ngene` stacked
     alignments; construct pruned gene trees (reference: ReadTreeSeqs,
     src/treesub.c:8933)."""
@@ -102,7 +105,7 @@ def read_tree_seqs(treefile: str, seqfile: str, ngene: int,
     loci = []
     for aln in alns:
         g_root = prune_to_taxa(sp_root, set(aln.names))
-        data = seqio.pack(aln, cleandata=cleandata)
+        data = seqio.pack(aln, cleandata=cleandata, icode=icode)
         topo = from_treenode(g_root, data.names)
         ipop = np.zeros(topo.nnode, dtype=np.int64)
         for n in g_root.walk_pre():
@@ -176,6 +179,11 @@ def make_ages_fn(sp_topo: Topology, fixed_ages: dict):
 class Clock56Spec:
     model: str = "HKY85"
     clock: int = 5
+    seqtype: int = seqio.BASE_SEQ  # BASE_SEQ or CODON_SEQ
+    icode: int = 0                 # genetic code (codon data)
+    codonf: str = "Fequal"         # codon-frequency model (codon data)
+    fix_omega: bool = False        # codon data: per-locus omega
+    omega: float | list = 0.4
     fix_kappa: bool = False
     kappa: float | list = 2.0
     fix_alpha: bool = True
@@ -202,6 +210,7 @@ class Clock56Result:
     SEs: np.ndarray | None = None
     fit: FitResult = None
     step2: dict | None = None
+    omega: np.ndarray | None = None  # per locus (codon data)
 
 
 def _per_gene_param(val, g: int, G: int) -> float:
@@ -212,11 +221,21 @@ def _per_gene_param(val, g: int, G: int) -> float:
 def make_step3_objective(hd: HeteroData, spec: Clock56Spec,
                          labels: list, nbrate: list, dtype=jnp.float64):
     """Joint objective over species ages + per-(locus, group) rates +
-    per-locus kappa/alpha (reference: lnLfunHeteroData, treesub.c:9491)."""
+    per-locus kappa/omega/alpha (reference: lnLfunHeteroData,
+    treesub.c:9491; codon loci use the same routine's per-gene
+    data.kappa/data.omega with the M0 codon model)."""
     ages_of, xa0, xab, _ = make_ages_fn(hd.sp_topo, hd.fixed_ages)
     nxa = len(xa0)
     G = len(hd.loci)
-    nr1 = nuc.N_RATE_PARAMS[spec.model] if not spec.fix_kappa else 0
+    is_codon = spec.seqtype == seqio.CODON_SEQ
+    if is_codon:
+        graph = codonmod.codon_graph(spec.icode)
+        nr1 = 0 if spec.fix_kappa else 1
+        nw = 0 if spec.fix_omega else 1
+    else:
+        graph = None
+        nr1 = nuc.N_RATE_PARAMS[spec.model] if not spec.fix_kappa else 0
+        nw = 0
     est_alpha = (spec.ncatG > 1) and not spec.fix_alpha
     K = spec.ncatG if (est_alpha or np.any(np.asarray(spec.alpha) > 0)) else 1
     roff = np.concatenate([[0], np.cumsum(nbrate)]).astype(int)
@@ -225,15 +244,26 @@ def make_step3_objective(hd: HeteroData, spec: Clock56Spec,
     consts = []
     for g, gt in enumerate(hd.loci):
         topo = gt.topo
-        bn = topo.branch_nodes()
         lab = np.asarray(labels[g], dtype=np.int64)
+        if is_codon:
+            fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
+                gt.data.tip_partials, gt.data.fpatt, graph,
+                gt.data.pos_masks)
+            pig = codonmod.codon_pi(spec.codonf, fcodon, f3x4, f1x4, graph)
+            pf3x4 = codonmod.mg_pf3x4(spec.codonf, f3x4, f1x4)
+        else:
+            pig = nuc.model_pi(spec.model, gt.data.base_freqs)
+            pf3x4 = None
+        tp = np.asarray(gt.data.tip_partials)
+        tips = (jnp.asarray(tp) if tp.ndim == 2 else jnp.asarray(tp, dtype))
         consts.append((
             jnp.asarray(gt.ipop),
             jnp.asarray(gt.ipop[topo.parent.clip(0)]),
             jnp.asarray(lab),
-            jnp.asarray(gt.data.tip_partials, dtype),
+            tips,
             jnp.asarray(gt.data.fpatt, dtype),
-            nuc.model_pi(spec.model, gt.data.base_freqs),
+            jnp.asarray(pig, dtype),
+            pf3x4,
         ))
 
     def unpack(x):
@@ -243,15 +273,17 @@ def make_step3_objective(hd: HeteroData, spec: Clock56Spec,
         k += ntot_r
         kap = x[k:k + nr1 * G] if nr1 else None
         k += nr1 * G
+        om = x[k:k + G] if nw else None
+        k += nw * G
         al = x[k:k + G] if est_alpha else None
-        return ages, r, kap, al
+        return ages, r, kap, om, al
 
     def neg_lnl(x):
         x = x.astype(dtype)
-        ages, r, kap, al = unpack(x)
+        ages, r, kap, om, al = unpack(x)
         total = jnp.asarray(0.0, dtype)
         for g, gt in enumerate(hd.loci):
-            ipop, ipop_pa, lab, tips, fpatt, pig = consts[g]
+            ipop, ipop_pa, lab, tips, fpatt, pig, pf3x4 = consts[g]
             topo = gt.topo
             dt = ages[ipop_pa] - ages[ipop]          # [nnode]
             rg = r[roff[g] + lab]                    # rate per node's branch
@@ -267,23 +299,35 @@ def make_step3_objective(hd: HeteroData, spec: Clock56Spec,
             else:
                 rr = jnp.ones((1,), dtype)
                 w = jnp.ones((1,), dtype)
-            rates_g = (kap[g * nr1:(g + 1) * nr1] if nr1 else
-                       jnp.asarray([_per_gene_param(spec.kappa, g, G)], dtype))
-            P, pi_root = nuc.pmats_for_model(
-                spec.model, rates_g, jnp.asarray(pig, dtype),
-                ts[:, None] * rr[None, :], None)
+            if is_codon:
+                kg = (kap[g] if nr1 else
+                      jnp.asarray(_per_gene_param(spec.kappa, g, G), dtype))
+                og = (om[g] if nw else
+                      jnp.asarray(_per_gene_param(spec.omega, g, G), dtype))
+                s = codonmod.mutation_part(graph, kg, pf3x4, dtype=dtype)
+                Q = codonmod.build_Q(graph, s, og, pig)
+                mr = codonmod.mean_rate(graph, s, og, pig)
+                P = pmat_rev(Q, pig, ts[:, None] * rr[None, :] / mr)
+                pi_root = pig
+            else:
+                rates_g = (kap[g * nr1:(g + 1) * nr1] if nr1 else
+                           jnp.asarray([_per_gene_param(spec.kappa, g, G)],
+                                       dtype))
+                P, pi_root = nuc.pmats_for_model(
+                    spec.model, rates_g, pig, ts[:, None] * rr[None, :],
+                    None)
             piC = jnp.broadcast_to(pi_root, (rr.shape[0], pi_root.shape[-1]))
             total = total + pruning.lnL(P, tips, topo, piC, w, fpatt)
         return -total
 
-    return neg_lnl, unpack, (xa0, xab), (nxa, ntot_r, nr1, G, est_alpha)
+    return neg_lnl, unpack, (xa0, xab), (nxa, ntot_r, nr1, nw, G, est_alpha)
 
 
 def _fit_joint(hd, spec, labels, nbrate, rate_init, age_x0=None,
                dtype=jnp.float64):
     neg_lnl, unpack, (xa0, xab), dims = make_step3_objective(
         hd, spec, labels, nbrate, dtype)
-    nxa, ntot_r, nr1, G, est_alpha = dims
+    nxa, ntot_r, nr1, nw, G, est_alpha = dims
     if age_x0 is not None:
         xa0 = age_x0
     x0 = list(xa0) + list(rate_init)
@@ -291,13 +335,17 @@ def _fit_joint(hd, spec, labels, nbrate, rate_init, age_x0=None,
     for g in range(G):
         x0 += [_per_gene_param(spec.kappa, g, G)] * nr1
         bounds += [(1e-4, 999.0)] * nr1
+    if nw:
+        for g in range(G):
+            x0.append(_per_gene_param(spec.omega, g, G))
+            bounds.append((1e-4, 999.0))
     if est_alpha:
         for g in range(G):
             a0 = _per_gene_param(spec.alpha, g, G)
             x0.append(a0 if a0 > 0 else 0.5)
             bounds.append((0.005, 99.0))
     res = maximize(neg_lnl, np.array(x0), bounds)
-    ages, r, kap, al = unpack(jnp.asarray(res.x))
+    ages, r, kap, om, al = unpack(jnp.asarray(res.x))
     ses = None
     if spec.getSE:
         H = jax.hessian(neg_lnl)(jnp.asarray(res.x))
@@ -309,6 +357,7 @@ def _fit_joint(hd, spec, labels, nbrate, rate_init, age_x0=None,
         rates=[np.asarray(r[roff[g]:roff[g + 1]]) for g in range(G)],
         kappa=(np.asarray(kap).reshape(G, nr1) if nr1 else None),
         alpha=(np.asarray(al) if est_alpha else None),
+        omega=(np.asarray(om) if nw else None),
         np=len(res.x), sp_topo=hd.sp_topo, labels=labels, SEs=ses, fit=res)
 
 
@@ -335,17 +384,33 @@ def _step1_locus(gt: GeneTree, spec: Clock56Spec, g: int, G: int,
     Returns (b[nnode], varb[nnode], lnL): b/varb indexed by gene node,
     with the two root-son branches symmetrized to (t0+t1)/2 and the
     merged-branch variance stored at the root slot."""
-    bspec = baseml_app.BasemlSpec(
-        model=spec.model, ncatG=spec.ncatG,
-        fix_alpha=spec.fix_alpha,
-        alpha=_per_gene_param(spec.alpha, g, G),
-        fix_kappa=spec.fix_kappa,
-        kappa=_per_gene_param(spec.kappa, g, G))
-    neg_lnl, unpack, x0, bounds = baseml_app.make_objective(
-        gt.data, gt.topo, bspec, dtype)
-    res = maximize(neg_lnl, x0, bounds)
-    xs = jnp.asarray(res.x)
-    t, _, rates, alpha = unpack(xs)
+    if spec.seqtype == seqio.CODON_SEQ:
+        cspec = codeml_app.CodemlSpec(
+            codonf=spec.codonf, icode=spec.icode,
+            fix_kappa=spec.fix_kappa,
+            kappa=_per_gene_param(spec.kappa, g, G),
+            fix_omega=spec.fix_omega,
+            omega=_per_gene_param(spec.omega, g, G),
+            fix_alpha=spec.fix_alpha,
+            alpha=_per_gene_param(spec.alpha, g, G))
+        neg_lnl, unpack, _classes, x0, bounds, _pi = \
+            codeml_app.make_codon_objective(gt.data, gt.topo, cspec, dtype)
+        res = maximize(neg_lnl, x0, bounds)
+        xs = jnp.asarray(res.x)
+        t, rates, _ppi, _theta = unpack(xs)
+        alpha = jnp.zeros((0,), dtype)
+    else:
+        bspec = baseml_app.BasemlSpec(
+            model=spec.model, ncatG=spec.ncatG,
+            fix_alpha=spec.fix_alpha,
+            alpha=_per_gene_param(spec.alpha, g, G),
+            fix_kappa=spec.fix_kappa,
+            kappa=_per_gene_param(spec.kappa, g, G))
+        neg_lnl, unpack, x0, bounds = baseml_app.make_objective(
+            gt.data, gt.topo, bspec, dtype)
+        res = maximize(neg_lnl, x0, bounds)
+        xs = jnp.asarray(res.x)
+        t, _, rates, alpha = unpack(xs)
     bn = gt.topo.branch_nodes()
     # exact per-branch curvature: diagonal of d2(-lnL)/db2 via one HVP
     # batch (replacing minB's quadratic-fit curvature, treesub.c:8039)
@@ -545,8 +610,8 @@ def fit_clock6(hd: HeteroData, spec: Clock56Spec | None = None,
 def fit(treefile: str, seqfile: str, ngene: int,
         spec: Clock56Spec | None = None, dtype=jnp.float64) -> Clock56Result:
     spec = spec or Clock56Spec()
-    hd = read_tree_seqs(treefile, seqfile, ngene,
-                        cleandata=spec.cleandata)
+    hd = read_tree_seqs(treefile, seqfile, ngene, seqtype=spec.seqtype,
+                        cleandata=spec.cleandata, icode=spec.icode)
     if spec.clock == 5:
         return fit_clock5(hd, spec, dtype)
     return fit_clock6(hd, spec, dtype)
