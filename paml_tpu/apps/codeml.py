@@ -367,6 +367,28 @@ def nssites_extra_starts(NSsites: int, ncatG: int, fix_omega: bool):
     return []
 
 
+def _select_branch_type(P_all, btype, B: int):
+    """P[v] = P_all[v, btype[v]] with btype STATIC (tree labels).
+
+    XLA's TPU gather for dynamic advanced indexing compiles pathologically
+    slowly (minutes) for [nnode, B, K, n, n] operands; with static branch
+    types a masked sum over the (small) B axis or static slices compile in
+    milliseconds and cost nothing at runtime."""
+    btype = np.asarray(btype)
+    if B == 1:
+        return P_all[:, 0]
+    if B <= 8:
+        out = None
+        for b in range(B):
+            m = jnp.asarray((btype == b).reshape(
+                (-1,) + (1,) * (P_all.ndim - 2)))
+            term = jnp.where(m, P_all[:, b], 0.0)
+            out = term if out is None else out + term
+        return out
+    # one P per branch (model=1 free omegas): static per-node slices
+    return jnp.stack([P_all[v, int(btype[v])] for v in range(P_all.shape[0])])
+
+
 def make_codon_objective(data: seqio.PackedData, topo: Topology,
                          spec: CodemlSpec, dtype=jnp.float64,
                          n_chunks: int = 1):
@@ -376,9 +398,14 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
     pi_np = codonmod.codon_pi(spec.codonf, fcodon, f3x4, f1x4, graph)
     pf3x4 = codonmod.mg_pf3x4(spec.codonf, f3x4, f1x4)
     pi = jnp.asarray(pi_np, dtype)
-    tips = (jnp.asarray(data.tip_partials)
-            if np.asarray(data.tip_partials).ndim == 2
-            else jnp.asarray(data.tip_partials, dtype))
+    tips_np = np.asarray(data.tip_partials)
+    if tips_np.ndim == 3 and tips_np.shape[0] and \
+            (tips_np.sum(-1) == 1).all() and tips_np.max() == 1:
+        # fully resolved one-hot data: compress to integer state codes
+        # (n-fold smaller tip storage; pruning gathers P columns directly)
+        tips_np = tips_np.argmax(-1).astype(np.int32)
+    tips = (jnp.asarray(tips_np) if tips_np.ndim == 2
+            else jnp.asarray(tips_np, dtype))
     fpatt = jnp.asarray(data.fpatt, dtype)
 
     branch_nodes = topo.branch_nodes()
@@ -552,8 +579,7 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
         P_all = jax.vmap(pmat_rev, in_axes=(0, None, 1), out_axes=1)(
             Qs, pi_d, ts)                                   # [nnode, B*K, n, n]
         P_all = P_all.reshape(nnode, Bc, K, graph.n, graph.n)
-        node_type = btype_j if Bc > 1 else jnp.zeros((nnode,), jnp.int32)
-        P = P_all[jnp.arange(nnode), node_type]             # [nnode, K, n, n]
+        P = _select_branch_type(P_all, btype, Bc)           # [nnode, K, n, n]
         piC = jnp.broadcast_to(pi_d, (K, graph.n))
         return P, piC, freqs
 
@@ -788,8 +814,7 @@ def make_aadist_objective(data: seqio.PackedData, topo: Topology,
         ts = tfull[:, None] * scales[None, :]               # [nnode, B]
         P_all = jax.vmap(pmat_rev, in_axes=(0, None, 1), out_axes=1)(
             Qs, pi, ts)                                     # [nnode, B, n, n]
-        node_type = btype_j if B > 1 else jnp.zeros((nnode,), jnp.int64)
-        P = P_all[jnp.arange(nnode), node_type][:, None]    # [nnode, 1, n, n]
+        P = _select_branch_type(P_all[:, :, None], btype, B)  # [nnode,1,n,n]
         piC = pi[None, :]
         return -pruning.lnL(P, tips, topo, piC, jnp.ones((1,), dtype), fpatt)
 

@@ -585,7 +585,15 @@ def class_site_lnf(P, tips, topo: Topology, pi):
     state codes [ns, H].  pi: [C, n] per-class root frequencies.
     Gradients w.r.t. P and pi via the analytic adjoint; tips are data
     (zero gradient).
+
+    On TPU, codon/aa-sized problems that fit VMEM dispatch to the fused
+    Pallas kernel (pallas_pruning.py); everything else uses the batched
+    einsum paths below.
     """
+    from . import pallas_pruning
+    out = pallas_pruning.maybe_pallas_lnf(P, tips, topo, pi)
+    if out is not None:
+        return out
     if len(_levels(topo)) <= _MAX_UNROLL:
         if topo.nnode > _WIDE_NNODE:
             return _class_site_lnf_wide(P, tips, topo, pi)
