@@ -461,8 +461,15 @@ def maybe_pallas_lnf(P, tips, topo: Topology, pi):
     N = max(_round_up(n, 8), 16)
     state_tips = jnp.asarray(tips).ndim == 2
     H = tips.shape[1]
-    Ht = choose_tile(topo, C, N, H, state_tips)
-    if Ht is None:
-        return None
     interpret = not _tpu_backend()      # CPU: interpreter mode (tests)
-    return class_site_lnf_pallas(P, tips, topo, pi, Ht, interpret)
+    Ht = choose_tile(topo, C, N, H, state_tips)
+    if Ht is not None:
+        return class_site_lnf_pallas(P, tips, topo, pi, Ht, interpret)
+    if state_tips:
+        # large trees: dynamic-schedule kernel (P/S streamed via DMA)
+        from . import pallas_pruning_big
+        Htb = pallas_pruning_big.choose_tile_big(topo, C, N)
+        if Htb is not None:
+            return pallas_pruning_big.class_site_lnf_big(
+                P, tips, topo, pi, Htb, interpret)
+    return None

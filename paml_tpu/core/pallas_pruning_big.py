@@ -1,0 +1,505 @@
+"""Dynamic-schedule Pallas pruning kernel for large trees.
+
+The statically-unrolled kernel in pallas_pruning.py keeps P and all
+per-node buffers in VMEM, which caps it at a few hundred nodes.  This
+variant scales to thousands of taxa:
+
+* the tree schedule lives in SMEM (scalar prefetch) and the kernel is a
+  `lax.fori_loop` over postorder steps, so compile time is independent of
+  tree size;
+* P [nnode, C, N, N] stays in HBM and is double-buffer DMA'd one node
+  ahead of the compute;
+* the backward pass needs every internal node's scaled partial s_v at the
+  parent's (much later) step, far beyond VMEM: the forward kernel streams
+  them to an HBM residual buffer S through a 2-deep DMA ring, and the
+  backward kernel prefetches the kid rows it needs one step ahead;
+* per-(pattern-tile) dP contributions are written to distinct HBM slabs
+  (each child has exactly one parent, so each row is written once per
+  tile) and reduced outside the kernel — no read-modify-write races.
+
+Tips enter as integer state codes only (clean data; ambiguity-set data
+falls back to the einsum paths — at these scales alignments are coded).
+Reference hot loop being replaced: `ConditionalPNode`
+(src/codeml.c:3526-3575) + `NodeScale` (src/treesub.c:7200).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .topology import Topology
+from .pallas_pruning import _plan, _round_up, _VMEM_BUDGET
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+_GRAD_CAP = 1e12
+_BIG = 1e30
+_MAX_SLOTS = 40            # fall back to einsum paths beyond this depth
+
+
+# ---------------------------------------------------------------------------
+# schedules (int32 arrays; see _Plan in pallas_pruning.py for slots)
+# ---------------------------------------------------------------------------
+
+
+def _sched_arrays(topo: Topology):
+    """(fsched [nnode, 3+Kmax], bsched [nint, 3+3*Kmax], Kmax).
+
+    fsched row: [v, out_slot, srow | -1, kid_slot * Kmax (-1 pad)]
+    bsched row (reverse DFS, root first):
+      [v, aslot, srow_v, (kid_id, kid_srow | -1, kid_aslot | -1) * Kmax]
+    """
+    cached = getattr(topo, "_pallas_big_sched", None)
+    if cached is not None:
+        return cached
+    plan = _plan(topo)
+    ns, root = plan.ns, plan.root
+    Kmax = max((len(k) for k in plan.kids_of.values() if k), default=2)
+    nnode = topo.nnode
+    fs = np.full((nnode, 3 + Kmax), -1, dtype=np.int32)
+    for i, v in enumerate(plan.order):
+        out_slot = plan.nslots if v == root else plan.slot[v]
+        srow = v - ns if v >= ns else -1
+        fs[i, 0], fs[i, 1], fs[i, 2] = v, out_slot, srow
+        if v >= ns:
+            for k, kid in enumerate(plan.kids_of[v]):
+                fs[i, 3 + k] = plan.slot[kid]
+    internal_rev = [v for v in reversed(plan.order) if v >= ns]
+    bs = np.full((len(internal_rev), 3 + 3 * Kmax), -1, dtype=np.int32)
+    for i, v in enumerate(internal_rev):
+        aslot = plan.root_aslot if v == root else plan.slot[v]
+        bs[i, 0], bs[i, 1], bs[i, 2] = v, aslot, v - ns
+        for k, kid in enumerate(plan.kids_of[v]):
+            bs[i, 3 + 3 * k] = kid
+            bs[i, 4 + 3 * k] = kid - ns if kid >= ns else -1
+            bs[i, 5 + 3 * k] = plan.slot[kid] if kid >= ns else -1
+    out = (fs, bs, Kmax)
+    topo._pallas_big_sched = out
+    return out
+
+
+def choose_tile_big(topo: Topology, C: int, N: int) -> int | None:
+    if not _HAVE_PALLAS:
+        return None
+    plan = _plan(topo)
+    if plan.nslots + 2 > _MAX_SLOTS:
+        return None
+    _, _, Kmax = _sched_arrays(topo)
+    ns = topo.ns
+    for Ht in (512, 256, 128):
+        slot_b = (plan.nslots + 2) * C * N * Ht * 4     # cbuf / abuf
+        stage_b = 2 * C * N * Ht * 4                    # fwd s-ring
+        bstage_b = 2 * (Kmax + 1) * C * N * Ht * 4      # bwd S prefetch
+        p_b = 2 * max(1, Kmax) * C * N * N * 4          # P rings
+        tips_b = 2 * ns * Ht * 4
+        io_b = 4 * C * Ht * 4
+        if slot_b + max(stage_b, bstage_b) + p_b + tips_b + io_b \
+                <= _VMEM_BUDGET // 2:
+            return Ht
+    return None
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _onehot(states_row, N, Ht, dtype):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N, Ht), 0)
+    return (rows == states_row[None, :]).astype(dtype)
+
+
+def _bdot(P, s):
+    """[C, N, N] @ [C, N, Ht] batched over C."""
+    return jax.lax.dot_general(
+        P, s, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+def _fwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, want_S,
+                    fsched, states_ref, P_hbm, pi_ref,
+                    lnf_ref, S_hbm,
+                    cbuf, pstage, sstage, psem, ssem):
+    dtype = jnp.float32
+    tile = pl.program_id(0)
+
+    def p_dma(i, slot):
+        v = fsched[i, 0]
+        return pltpu.make_async_copy(P_hbm.at[v], pstage.at[slot],
+                                     psem.at[slot])
+
+    p_dma(0, 0).start()
+
+    def body(i, carry):
+        logm, nwr = carry
+        v = fsched[i, 0]
+        out_slot = fsched[i, 1]
+        srow = fsched[i, 2]
+        is_tip = v < ns
+
+        @pl.when(i + 1 < nnode)
+        def _():
+            p_dma(i + 1, (i + 1) % 2).start()
+
+        def tip_s(_):
+            oh = _onehot(states_ref[v], N, Ht, dtype)
+            return (jnp.broadcast_to(oh[None], (C, N, Ht)),
+                    jnp.zeros((C, Ht), dtype))
+
+        def int_s(_):
+            prod = cbuf[jnp.maximum(fsched[i, 3], 0)]
+            for k in range(1, Kmax):
+                sl = fsched[i, 3 + k]
+                val = cbuf[jnp.maximum(sl, 0)]
+                prod = jnp.where(sl >= 0, prod * val, prod)
+            m = jnp.max(prod, axis=1)
+            msafe = jnp.where(m > 0, m, 1.0)
+            return prod / msafe[:, None, :], jnp.log(msafe)
+
+        s, lm = jax.lax.cond(is_tip, tip_s, int_s, None)
+        logm = logm + lm
+
+        if want_S:
+            # stream internal partials to HBM through a 2-deep ring
+            @pl.when(srow >= 0)
+            def _():
+                ph = nwr % 2
+
+                @pl.when(nwr >= 2)
+                def _():
+                    # reuse of this ring slot: drain its previous DMA
+                    # (same-size descriptor; only the semaphore matters)
+                    pltpu.make_async_copy(
+                        sstage.at[ph],
+                        S_hbm.at[0, :, :, pl.ds(0, Ht)],
+                        ssem.at[ph]).wait()
+                sstage[ph] = s
+                pltpu.make_async_copy(
+                    sstage.at[ph],
+                    S_hbm.at[srow, :, :, pl.ds(tile * Ht, Ht)],
+                    ssem.at[ph]).start()
+            nwr = nwr + jnp.where(srow >= 0, 1, 0)
+
+        pltpu.make_async_copy(P_hbm.at[v], pstage.at[i % 2],
+                              psem.at[i % 2]).wait()
+        cv = _bdot(pstage[i % 2], s)
+        cbuf[out_slot] = cv
+
+        @pl.when(i == nnode - 1)
+        def _():
+            pi = pi_ref[...]
+            F = jnp.sum(pi[:, :, None] * s, axis=1)
+            F = jnp.maximum(F, jnp.finfo(dtype).tiny)
+            lnf_ref[...] = jnp.log(F) + logm
+        return logm, nwr
+
+    jax.lax.fori_loop(0, nnode, body,
+                      (jnp.zeros((C, Ht), dtype), jnp.int32(0)))
+    if want_S:
+        # drain the last (up to 2) in-flight S writes
+        for tail in (2, 1):
+            if nint >= tail:
+                ph = (nint - tail) % 2
+                pltpu.make_async_copy(sstage.at[ph],
+                                      S_hbm.at[0, :, :, pl.ds(0, Ht)],
+                                      ssem.at[ph]).wait()
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax,
+                    bsched, states_ref, P_hbm, pi_ref, gbar_ref, S_hbm,
+                    dP_ref, dpi_ref,
+                    abuf, pkstage, skstage, dstage, pksem, sksem, dsem):
+    """Downward adjoint sweep.  dP_ref is an HBM [grid, nnode, C, N, N]
+    buffer; this tile's slab rows are written once each (every node has
+    one parent) from a 2-deep staging ring, then summed outside.
+
+    Prefetch pattern: at step i the DMAs for step i+1 are started first,
+    then step i's own (begun at step i-1) are awaited."""
+    dtype = jnp.float32
+    tile = pl.program_id(0)
+
+    def start_step_dmas(i):
+        ph = i % 2
+        for k in range(Kmax):
+            kid = bsched[i, 3 + 3 * k]
+            ksrow = bsched[i, 4 + 3 * k]
+
+            @pl.when(kid >= 0)
+            def _():
+                pltpu.make_async_copy(P_hbm.at[jnp.maximum(kid, 0)],
+                                      pkstage.at[ph, k],
+                                      pksem.at[ph, k]).start()
+
+            @pl.when(ksrow >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    S_hbm.at[jnp.maximum(ksrow, 0), :, :,
+                             pl.ds(tile * Ht, Ht)],
+                    skstage.at[ph, k], sksem.at[ph, k]).start()
+
+    def wait_step_dmas(i):
+        ph = i % 2
+        for k in range(Kmax):
+            kid = bsched[i, 3 + 3 * k]
+            ksrow = bsched[i, 4 + 3 * k]
+
+            @pl.when(kid >= 0)
+            def _():
+                pltpu.make_async_copy(P_hbm.at[0], pkstage.at[ph, k],
+                                      pksem.at[ph, k]).wait()
+
+            @pl.when(ksrow >= 0)
+            def _():
+                pltpu.make_async_copy(S_hbm.at[0, :, :, pl.ds(0, Ht)],
+                                      skstage.at[ph, k],
+                                      sksem.at[ph, k]).wait()
+
+    # warmup: step 0 DMAs + the root's own s row (slot [0, Kmax])
+    start_step_dmas(0)
+    root_srow = bsched[0, 2]
+    pltpu.make_async_copy(
+        S_hbm.at[root_srow, :, :, pl.ds(tile * Ht, Ht)],
+        skstage.at[0, Kmax], sksem.at[0, Kmax]).start()
+
+    def dwrite_wait(ph):
+        pltpu.make_async_copy(dstage.at[ph], dP_ref.at[0, 0],
+                              dsem.at[ph]).wait()
+
+    def body(i, nw):
+        @pl.when(i + 1 < nint)
+        def _():
+            start_step_dmas(i + 1)
+        wait_step_dmas(i)
+
+        aslot = bsched[i, 1]
+
+        @pl.when(i == 0)
+        def _():
+            pltpu.make_async_copy(
+                S_hbm.at[0, :, :, pl.ds(0, Ht)], skstage.at[0, Kmax],
+                sksem.at[0, Kmax]).wait()
+            s_root = skstage[0, Kmax]
+            pi = pi_ref[...]
+            gbar = gbar_ref[...]
+            F = jnp.sum(pi[:, :, None] * s_root, axis=1)
+            F = jnp.maximum(F, jnp.finfo(dtype).tiny)
+            gF = gbar / F
+            abuf[aslot] = gF[:, None, :] * pi[:, :, None]
+            dpi_ref[0] = jnp.sum(gF[:, None, :] * s_root, axis=2)
+
+        Av = abuf[aslot]
+        ph = i % 2
+        sk, ck, valid = [], [], []
+        for k in range(Kmax):
+            kid = bsched[i, 3 + 3 * k]
+            ksrow = bsched[i, 4 + 3 * k]
+            is_int = ksrow >= 0
+            oh = _onehot(states_ref[jnp.clip(kid, 0, ns - 1)], N, Ht, dtype)
+            s = jnp.where(is_int, skstage[ph, k],
+                          jnp.broadcast_to(oh[None], (C, N, Ht)))
+            c = _bdot(pkstage[ph, k], s)
+            c = jnp.where(kid >= 0, c, 1.0)
+            sk.append(s)
+            ck.append(c)
+            valid.append(kid >= 0)
+        prod = ck[0]
+        for c in ck[1:]:
+            prod = prod * c
+        m = jnp.max(prod, axis=1)
+        msafe = jnp.where(m > 0, m, 1.0)
+        pre = [jnp.ones_like(ck[0])]
+        for k in range(1, Kmax):
+            pre.append(pre[-1] * ck[k - 1])
+        suf = [jnp.ones_like(ck[0])]
+        for k in range(Kmax - 2, -1, -1):
+            suf.insert(0, suf[0] * ck[k + 1])
+        base = Av / msafe[:, None, :]
+        for k in range(Kmax):
+            kid = bsched[i, 3 + 3 * k]
+            kaslot = bsched[i, 5 + 3 * k]
+            G = base * (pre[k] * suf[k])
+            G = jnp.clip(G, -_GRAD_CAP, _GRAD_CAP)
+            G = jnp.where(jnp.isnan(G), 0.0, G)
+            G = jnp.where(valid[k], G, 0.0)
+            dPk = jax.lax.dot_general(
+                G, sk[k], dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # [C, N, N]
+
+            # stage & DMA this kid's dP row (written once per tile)
+            @pl.when(valid[k])
+            def _():
+                phw = nw % 2
+
+                @pl.when(nw >= 2)
+                def _():
+                    dwrite_wait(phw)
+                dstage[phw] = dPk
+                pltpu.make_async_copy(dstage.at[phw],
+                                      dP_ref.at[tile, jnp.maximum(kid, 0)],
+                                      dsem.at[phw]).start()
+            nw = nw + jnp.where(valid[k], 1, 0)
+
+            @pl.when(kaslot >= 0)
+            def _():
+                Ak = jax.lax.dot_general(
+                    pkstage[ph, k], G,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)    # [C, N, Ht]
+                abuf[jnp.maximum(kaslot, 0)] = Ak
+        return nw
+
+    jax.lax.fori_loop(0, nint, body, jnp.int32(0))
+    # exactly nnode-1 dP rows are written per tile; drain the last two
+    for tail in (2, 1):
+        if nnode - 1 >= tail:
+            dwrite_wait((nnode - 1 - tail) % 2)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _grids(topo, P, tips, pi, Ht):
+    n = P.shape[-1]
+    N = max(_round_up(n, 8), 16)
+    C = P.shape[1]
+    H = tips.shape[1]
+    Hp = _round_up(H, Ht)
+    Pp = jnp.pad(P.astype(jnp.float32),
+                 ((0, 0), (0, 0), (0, N - n), (0, N - n)))
+    pip = jnp.pad(pi.astype(jnp.float32), ((0, 0), (0, N - n)))
+    tp = jnp.pad(jnp.asarray(tips, jnp.int32), ((0, 0), (0, Hp - H)))
+    return Pp, tp, pip, n, N, C, H, Hp
+
+
+def _fwd_big_call(P, tips, pi, topo: Topology, Ht, want_S, interpret=False):
+    from .pallas_pruning import _params
+    fs, _, Kmax = _sched_arrays(topo)
+    Pp, tp, pip, n, N, C, H, Hp = _grids(topo, P, tips, pi, Ht)
+    plan = _plan(topo)
+    ns, nnode, nint = topo.ns, topo.nnode, topo.n_internal
+    grid = Hp // Ht
+    kern = partial(_fwd_big_kernel, nnode, nint, ns, N, C, Ht, Kmax, want_S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((ns, Ht), lambda i, _s: (0, i)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((C, N), lambda i, _s: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((C, Ht), lambda i, _s: (0, i)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((plan.nslots + 1, C, N, Ht), jnp.float32),
+            pltpu.VMEM((2, C, N, N), jnp.float32),
+            pltpu.VMEM((2, C, N, Ht), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    S_shape = ((nint, C, N, Hp) if want_S else (1, 1, 1, 128))
+    lnf, S = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((C, Hp), jnp.float32),
+            jax.ShapeDtypeStruct(S_shape, jnp.float32),
+        ),
+        compiler_params=_params(interpret),
+        interpret=interpret,
+    )(jnp.asarray(fs), tp, Pp, pip)
+    return lnf[:, :H], (S if want_S else None)
+
+
+def _bwd_big_call(P, tips, pi, gbar, S, topo: Topology, Ht,
+                  interpret=False):
+    from .pallas_pruning import _params
+    _, bs, Kmax = _sched_arrays(topo)
+    Pp, tp, pip, n, N, C, H, Hp = _grids(topo, P, tips, pi, Ht)
+    plan = _plan(topo)
+    ns, nnode, nint = topo.ns, topo.nnode, topo.n_internal
+    grid = Hp // Ht
+    gb = jnp.pad(gbar.astype(jnp.float32), ((0, 0), (0, Hp - H)))
+    kern = partial(_bwd_big_kernel, nnode, nint, ns, N, C, Ht, Kmax)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((ns, Ht), lambda i, _s: (0, i)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((C, N), lambda i, _s: (0, 0)),
+            pl.BlockSpec((C, Ht), lambda i, _s: (0, i)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, C, N), lambda i, _s: (i, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((plan.nslots + 2, C, N, Ht), jnp.float32),
+            pltpu.VMEM((2, Kmax, C, N, N), jnp.float32),
+            pltpu.VMEM((2, Kmax + 1, C, N, Ht), jnp.float32),
+            pltpu.VMEM((2, C, N, N), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, Kmax)),
+            pltpu.SemaphoreType.DMA((2, Kmax + 1)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dP_t, dpi_t = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((grid, nnode, C, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((grid, C, N), jnp.float32),
+        ),
+        compiler_params=_params(interpret),
+        interpret=interpret,
+    )(jnp.asarray(bs), tp, Pp, pip, gb, S)
+    # the root row is never written (no parent): clear before use
+    dP = jnp.sum(dP_t.at[:, topo.root].set(0.0), axis=0)[:, :, :n, :n]
+    dpi = jnp.sum(dpi_t, axis=0)[:, :n]
+    dP = jnp.nan_to_num(dP, nan=0.0, posinf=_BIG, neginf=-_BIG)
+    dpi = jnp.nan_to_num(dpi, nan=0.0, posinf=_BIG, neginf=-_BIG)
+    return dP, dpi
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 4, 5))
+def class_site_lnf_big(P, tips, topo: Topology, pi, Ht: int = 512,
+                       interpret: bool = False):
+    """Per-(class, pattern) log site likelihood [C, H] via the dynamic
+    (large-tree) fused kernel.  tips must be integer state codes."""
+    lnf, _ = _fwd_big_call(P, tips, pi, topo, Ht, False, interpret)
+    return lnf
+
+
+def _vjp_fwd(P, tips, topo, pi, Ht, interpret):
+    lnf, S = _fwd_big_call(P, tips, pi, topo, Ht, True, interpret)
+    return lnf, (P, tips, pi, S)
+
+
+def _vjp_bwd(topo, Ht, interpret, res, gbar):
+    P, tips, pi, S = res
+    dP, dpi = _bwd_big_call(P, tips, pi, gbar, S, topo, Ht, interpret)
+    dtips = np.zeros(tips.shape, dtype=jax.dtypes.float0)
+    return dP.astype(P.dtype), dtips, dpi.astype(pi.dtype)
+
+
+class_site_lnf_big.defvjp(_vjp_fwd, _vjp_bwd)
