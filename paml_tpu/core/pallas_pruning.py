@@ -452,6 +452,14 @@ def maybe_pallas_lnf(P, tips, topo: Topology, pi):
     # einsum paths: pallas_call batching would add a grid axis per locus
     if any(type(x).__name__ == "BatchTracer" for x in (P, tips, pi)):
         return None
+    # multi-device meshes keep the einsum paths (XLA partitions those
+    # freely; partitioning a pallas custom call needs shard_map wiring);
+    # an explicit PAML_TPU_PALLAS=1 (tests) overrides
+    try:
+        if env != "1" and _mode != "on" and jax.device_count() > 1:
+            return None
+    except Exception:  # pragma: no cover
+        return None
     n = P.shape[-1]
     if n < 16:            # nucleotide models: einsum path is already fine
         return None

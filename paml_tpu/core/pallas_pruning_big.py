@@ -87,9 +87,10 @@ def _sched_arrays(topo: Topology):
     return out
 
 
-def choose_tile_big(topo: Topology, C: int, N: int) -> int | None:
+def choose_tile_big(topo: Topology, C: int, N: int = 128) -> int | None:
     if not _HAVE_PALLAS:
         return None
+    N = 128        # HBM DMA slices must be 128-aligned in the minor dim
     plan = _plan(topo)
     if plan.nslots + 2 > _MAX_SLOTS:
         return None
@@ -133,7 +134,7 @@ def _fwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, want_S,
     tile = pl.program_id(0)
 
     def p_dma(i, slot):
-        v = fsched[i, 0]
+        v = fsched[0, i]
         return pltpu.make_async_copy(P_hbm.at[v], pstage.at[slot],
                                      psem.at[slot])
 
@@ -141,9 +142,9 @@ def _fwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, want_S,
 
     def body(i, carry):
         logm, nwr = carry
-        v = fsched[i, 0]
-        out_slot = fsched[i, 1]
-        srow = fsched[i, 2]
+        v = fsched[0, i]
+        out_slot = fsched[1, i]
+        srow = fsched[2, i]
         is_tip = v < ns
 
         @pl.when(i + 1 < nnode)
@@ -156,9 +157,9 @@ def _fwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, want_S,
                     jnp.zeros((C, Ht), dtype))
 
         def int_s(_):
-            prod = cbuf[jnp.maximum(fsched[i, 3], 0)]
+            prod = cbuf[jnp.maximum(fsched[3, i], 0)]
             for k in range(1, Kmax):
-                sl = fsched[i, 3 + k]
+                sl = fsched[3 + k, i]
                 val = cbuf[jnp.maximum(sl, 0)]
                 prod = jnp.where(sl >= 0, prod * val, prod)
             m = jnp.max(prod, axis=1)
@@ -235,8 +236,8 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax,
     def start_step_dmas(i):
         ph = i % 2
         for k in range(Kmax):
-            kid = bsched[i, 3 + 3 * k]
-            ksrow = bsched[i, 4 + 3 * k]
+            kid = bsched[3 + 3 * k, i]
+            ksrow = bsched[4 + 3 * k, i]
 
             @pl.when(kid >= 0)
             def _():
@@ -254,8 +255,8 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax,
     def wait_step_dmas(i):
         ph = i % 2
         for k in range(Kmax):
-            kid = bsched[i, 3 + 3 * k]
-            ksrow = bsched[i, 4 + 3 * k]
+            kid = bsched[3 + 3 * k, i]
+            ksrow = bsched[4 + 3 * k, i]
 
             @pl.when(kid >= 0)
             def _():
@@ -270,7 +271,7 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax,
 
     # warmup: step 0 DMAs + the root's own s row (slot [0, Kmax])
     start_step_dmas(0)
-    root_srow = bsched[0, 2]
+    root_srow = bsched[2, 0]
     pltpu.make_async_copy(
         S_hbm.at[root_srow, :, :, pl.ds(tile * Ht, Ht)],
         skstage.at[0, Kmax], sksem.at[0, Kmax]).start()
@@ -285,7 +286,7 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax,
             start_step_dmas(i + 1)
         wait_step_dmas(i)
 
-        aslot = bsched[i, 1]
+        aslot = bsched[1, i]
 
         @pl.when(i == 0)
         def _():
@@ -305,8 +306,8 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax,
         ph = i % 2
         sk, ck, valid = [], [], []
         for k in range(Kmax):
-            kid = bsched[i, 3 + 3 * k]
-            ksrow = bsched[i, 4 + 3 * k]
+            kid = bsched[3 + 3 * k, i]
+            ksrow = bsched[4 + 3 * k, i]
             is_int = ksrow >= 0
             oh = _onehot(states_ref[jnp.clip(kid, 0, ns - 1)], N, Ht, dtype)
             s = jnp.where(is_int, skstage[ph, k],
@@ -329,8 +330,8 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax,
             suf.insert(0, suf[0] * ck[k + 1])
         base = Av / msafe[:, None, :]
         for k in range(Kmax):
-            kid = bsched[i, 3 + 3 * k]
-            kaslot = bsched[i, 5 + 3 * k]
+            kid = bsched[3 + 3 * k, i]
+            kaslot = bsched[5 + 3 * k, i]
             G = base * (pre[k] * suf[k])
             G = jnp.clip(G, -_GRAD_CAP, _GRAD_CAP)
             G = jnp.where(jnp.isnan(G), 0.0, G)
@@ -376,7 +377,10 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax,
 
 def _grids(topo, P, tips, pi, Ht):
     n = P.shape[-1]
-    N = max(_round_up(n, 8), 16)
+    # Mosaic requires HBM DMA slices to be tiling-aligned (128 lanes) in
+    # the minor dimension; P rows are also padded to 128 so the per-node
+    # [C, N, N] slice is legal and the MXU tile is native 128x128
+    N = 128
     C = P.shape[1]
     H = tips.shape[1]
     Hp = _round_up(H, Ht)
@@ -425,7 +429,7 @@ def _fwd_big_call(P, tips, pi, topo: Topology, Ht, want_S, interpret=False):
         ),
         compiler_params=_params(interpret),
         interpret=interpret,
-    )(jnp.asarray(fs), tp, Pp, pip)
+    )(jnp.asarray(np.ascontiguousarray(fs.T)), tp, Pp, pip)
     return lnf[:, :H], (S if want_S else None)
 
 
@@ -472,7 +476,7 @@ def _bwd_big_call(P, tips, pi, gbar, S, topo: Topology, Ht,
         ),
         compiler_params=_params(interpret),
         interpret=interpret,
-    )(jnp.asarray(bs), tp, Pp, pip, gb, S)
+    )(jnp.asarray(np.ascontiguousarray(bs.T)), tp, Pp, pip, gb, S)
     # the root row is never written (no parent): clear before use
     dP = jnp.sum(dP_t.at[:, topo.root].set(0.0), axis=0)[:, :, :n, :n]
     dpi = jnp.sum(dpi_t, axis=0)[:, :n]
