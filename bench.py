@@ -7,7 +7,8 @@ Primary workload (unchanged across rounds so values are comparable):
 jitted value+gradient of an NSsites-style codon log-likelihood (the
 optimizer inner loop) on a synthetic alignment — 32 taxa (ladder tree,
 worst-case serial depth), 4096 site patterns, 61 states, 3 site classes,
-float32 partials on the TPU chip with full-f32 (6-pass) matmul precision.
+float32 partials on the TPU chip.  Kernel matmuls run the 3-pass bf16x3
+product (~f32-faithful; see pallas_pruning.mm_dot_general).
 
 `extra` adds:
   - big_pattern_evals_per_sec: the BASELINE.json north-star shape — a
@@ -127,10 +128,17 @@ def main():
     fwd_flops = (nnode - 1) * K_CLASSES * NPATT * 2 * n_states * n_states
     mfu = 4 * fwd_flops / dt / PEAK_BF16
 
-    # TPU numerics vs exact-f32 CPU evaluation at the same point
-    with jax.default_device(jax.devices("cpu")[0]):
-        v_cpu = float(jax.jit(neg_lnl)(jnp.asarray(x0)))
+    # TPU numerics vs exact-f32 CPU evaluation at the same point (einsum
+    # paths; the fused kernel cannot compile for CPU)
+    from paml_tpu.core.pallas_pruning import set_pallas_mode
+    set_pallas_mode("off")
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            v_cpu = float(jax.jit(lambda y: neg_lnl(y))(jnp.asarray(x0)))
+    finally:
+        set_pallas_mode("auto")
     f32_err = abs(float(v) - v_cpu)
+    f32_rel = f32_err / abs(v_cpu)
 
     # north-star shape: 1k taxa x 10k patterns, branch-site A, chunked;
     # data passed as arguments (not closure constants) so the 40 MB state
@@ -157,6 +165,7 @@ def main():
             "primary_ms_per_eval": round(dt * 1e3, 3),
             "mfu_vs_bf16_peak": round(mfu, 4),
             "tpu_vs_cpu_f32_lnl_absdiff": round(f32_err, 6),
+            "tpu_vs_cpu_f32_lnl_reldiff": round(f32_rel, 10),
             "big_shape": f"{BIG_TAXA}taxa x {BIG_NPATT}patt branch-site A",
             "big_pattern_evals_per_sec": round(big_pattern_evals, 1),
             "big_ms_per_eval": round(bdt * 1e3, 1),

@@ -59,6 +59,62 @@ _VMEM_BUDGET = 96 * 1024 * 1024   # bytes; v5e has 128 MiB VMEM/core
 _GRAD_CAP = 1e12                  # match pruning.py adjoint clipping
 _BIG = 1e30
 
+# ---------------------------------------------------------------------------
+# kernel matmul precision
+#
+# Mosaic lowers an f32 `jnp.dot` with default precision to a SINGLE bf16
+# MXU pass (measured: bit-identical results and identical runtime to
+# explicitly casting the operands to bf16), and rejects Precision.HIGH.
+# For likelihoods that must match the reference to ~1e-4 lnL units a lone
+# bf16 pass is too coarse, so the kernels default to a manual 3-pass
+# bf16x3 product (the same decomposition XLA uses for Precision.HIGH:
+# a ~= hi + lo with hi = bf16(a); a*b ~= hi*hi + hi*lo + lo*hi), which is
+# f32-faithful to ~2^-22 relative.  Modes: "bf16" (1 pass, fastest),
+# "3pass" (default), "6pass" (Precision.HIGHEST).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_MM_MODE = _os.environ.get("PAML_TPU_MM", "3pass")
+
+
+def set_mm_mode(mode: str) -> None:
+    """Set the Pallas-kernel matmul mode: "bf16" | "3pass" | "6pass"."""
+    global _MM_MODE
+    assert mode in ("bf16", "3pass", "6pass")
+    _MM_MODE = mode
+
+
+def _bf16_split(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def mm_dot_general(a, b, dimension_numbers, exact=False):
+    """dot_general at the configured kernel matmul precision.
+
+    exact=True (interpreter mode on CPU, where f32 dots are native) skips
+    the bf16 emulation passes."""
+    if exact:
+        return jax.lax.dot_general(a, b, dimension_numbers,
+                                   preferred_element_type=jnp.float32)
+    if _MM_MODE == "6pass":
+        return jax.lax.dot_general(
+            a, b, dimension_numbers, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    if _MM_MODE == "bf16":
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            dimension_numbers, preferred_element_type=jnp.float32)
+    ah, al = _bf16_split(a)
+    bh, bl = _bf16_split(b)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dimension_numbers,
+                                   preferred_element_type=jnp.float32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
 
 # ---------------------------------------------------------------------------
 # host-side schedule
@@ -151,11 +207,12 @@ def _onehot_rows(states_row, N, Ht, dtype):
     return (rows == states_row[None, :]).astype(dtype)
 
 
-def _dot(a, b):  # [N, N] @ [N, Ht]
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+def _dot(a, b, exact=False):  # [N, N] @ [N, Ht]
+    return mm_dot_general(a, b, (((1,), (0,)), ((), ())), exact)
 
 
-def _upward(plan: _Plan, C, N, Ht, read_tip, P_at, cbuf, sbuf=None):
+def _upward(plan: _Plan, C, N, Ht, read_tip, P_at, cbuf, sbuf=None,
+            exact=False):
     """Shared unrolled upward sweep.
 
     read_tip(v) -> [N, Ht] or [C, N, Ht] tip partial; P_at(v, c) -> [N, N].
@@ -184,13 +241,13 @@ def _upward(plan: _Plan, C, N, Ht, read_tip, P_at, cbuf, sbuf=None):
         if v == root:
             s_root = s
             break
-        cv = jnp.stack([_dot(P_at(v, c), s if shared else s[c])
+        cv = jnp.stack([_dot(P_at(v, c), s if shared else s[c], exact)
                         for c in range(C)])
         cbuf[plan.slot[v]] = cv
     return s_root, logm
 
 
-def _fwd_kernel_body(plan: _Plan, C, N, Ht, state_tips,
+def _fwd_kernel_body(plan: _Plan, C, N, Ht, state_tips, exact,
                      tips_ref, P_ref, pi_ref, lnf_ref, cbuf):
     dtype = jnp.float32
 
@@ -200,14 +257,14 @@ def _fwd_kernel_body(plan: _Plan, C, N, Ht, state_tips,
         return tips_ref[v]
 
     s_root, logm = _upward(plan, C, N, Ht, read_tip,
-                           lambda v, c: P_ref[v, c], cbuf)
+                           lambda v, c: P_ref[v, c], cbuf, exact=exact)
     pi = pi_ref[...]
     F = jnp.sum(pi[:, :, None] * s_root, axis=1)            # [C, Ht]
     F = jnp.maximum(F, jnp.finfo(dtype).tiny)
     lnf_ref[...] = jnp.log(F) + logm
 
 
-def _bwd_kernel_body(plan: _Plan, C, N, Ht, state_tips,
+def _bwd_kernel_body(plan: _Plan, C, N, Ht, state_tips, exact,
                      tips_ref, P_ref, pi_ref, gbar_ref,
                      dP_ref, dpi_ref, sbuf, abuf):
     """Recompute the upward sweep, then one downward adjoint sweep.
@@ -228,7 +285,7 @@ def _bwd_kernel_body(plan: _Plan, C, N, Ht, state_tips,
         return tips_ref[v]
 
     _upward(plan, C, N, Ht, read_tip, lambda v, c: P_ref[v, c],
-            abuf, sbuf=sbuf)    # abuf doubles as cbuf during recompute
+            abuf, sbuf=sbuf, exact=exact)  # abuf doubles as cbuf here
 
     pi = pi_ref[...]
     gbar = gbar_ref[...]
@@ -250,8 +307,8 @@ def _bwd_kernel_body(plan: _Plan, C, N, Ht, state_tips,
         for k in kids:
             s = sbuf[k - ns] if k >= ns else read_tip(k)
             shared = s.ndim == 2
-            c = jnp.stack([_dot(P_ref[k, cc], s if shared else s[cc])
-                           for cc in range(C)])
+            c = jnp.stack([_dot(P_ref[k, cc], s if shared else s[cc],
+                                exact) for cc in range(C)])
             sk.append(s)
             ck.append(c)
         prod = ck[0]
@@ -273,18 +330,14 @@ def _bwd_kernel_body(plan: _Plan, C, N, Ht, state_tips,
             G = jnp.where(jnp.isnan(G), 0.0, G)
             s = sk[k]
             dPk = jnp.stack([
-                jax.lax.dot_general(
-                    G[cc], s if s.ndim == 2 else s[cc],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                mm_dot_general(G[cc], s if s.ndim == 2 else s[cc],
+                               (((1,), (1,)), ((), ())), exact)
                 for cc in range(C)])                        # [C, N, N]
             dP_ref[kid] += dPk
             if kid >= ns:
                 Ak = jnp.stack([
-                    jax.lax.dot_general(
-                        P_ref[kid, cc], G[cc],
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                    mm_dot_general(P_ref[kid, cc], G[cc],
+                                   (((0,), (0,)), ((), ())), exact)
                     for cc in range(C)])                    # [C, N, Ht]
                 abuf[plan.slot[kid]] = Ak
 
@@ -328,7 +381,7 @@ def _fwd_call(P, tips, pi, topo: Topology, Ht: int, interpret=False):
     tips_spec = (pl.BlockSpec((topo.ns, Ht), lambda i: (0, i))
                  if state_tips
                  else pl.BlockSpec((topo.ns, N, Ht), lambda i: (0, 0, i)))
-    kern = partial(_fwd_kernel_body, plan, C, N, Ht, state_tips)
+    kern = partial(_fwd_kernel_body, plan, C, N, Ht, state_tips, interpret)
     lnf = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -355,7 +408,7 @@ def _bwd_call(P, tips, pi, gbar, topo: Topology, Ht: int, interpret=False):
     tips_spec = (pl.BlockSpec((topo.ns, Ht), lambda i: (0, i))
                  if state_tips
                  else pl.BlockSpec((topo.ns, N, Ht), lambda i: (0, 0, i)))
-    kern = partial(_bwd_kernel_body, plan, C, N, Ht, state_tips)
+    kern = partial(_bwd_kernel_body, plan, C, N, Ht, state_tips, interpret)
     dP, dpi = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -432,6 +485,12 @@ def set_pallas_mode(mode: str) -> None:
 
 def _tpu_backend() -> bool:
     try:
+        # an active jax.default_device(...) overrides the process default
+        # backend (jax.default_backend() ignores it; compiling a
+        # non-interpret pallas_call for CPU is an error)
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return dd.platform in ("tpu", "axon")
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .topology import Topology
-from .pallas_pruning import _plan, _round_up, _VMEM_BUDGET
+from .pallas_pruning import _plan, _round_up, _VMEM_BUDGET, mm_dot_general
 
 try:
     from jax.experimental import pallas as pl
@@ -119,14 +119,12 @@ def _onehot(states_row, N, Ht, dtype):
     return (rows == states_row[None, :]).astype(dtype)
 
 
-def _bdot(P, s):
+def _bdot(P, s, exact=False):
     """[C, N, N] @ [C, N, Ht] batched over C."""
-    return jax.lax.dot_general(
-        P, s, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+    return mm_dot_general(P, s, (((2,), (1,)), ((0,), (0,))), exact)
 
 
-def _fwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, want_S,
+def _fwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, want_S, exact,
                     fsched, states_ref, P_hbm, pi_ref,
                     lnf_ref, S_hbm,
                     cbuf, pstage, sstage, psem, ssem):
@@ -192,7 +190,7 @@ def _fwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, want_S,
 
         pltpu.make_async_copy(P_hbm.at[v], pstage.at[i % 2],
                               psem.at[i % 2]).wait()
-        cv = _bdot(pstage[i % 2], s)
+        cv = _bdot(pstage[i % 2], s, exact)
         cbuf[out_slot] = cv
 
         @pl.when(i == nnode - 1)
@@ -220,7 +218,7 @@ def _fwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, want_S,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax,
+def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, exact,
                     bsched, states_ref, P_hbm, pi_ref, gbar_ref, S_hbm,
                     dP_ref, dpi_ref,
                     abuf, pkstage, skstage, dstage, pksem, sksem, dsem):
@@ -312,7 +310,7 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax,
             oh = _onehot(states_ref[jnp.clip(kid, 0, ns - 1)], N, Ht, dtype)
             s = jnp.where(is_int, skstage[ph, k],
                           jnp.broadcast_to(oh[None], (C, N, Ht)))
-            c = _bdot(pkstage[ph, k], s)
+            c = _bdot(pkstage[ph, k], s, exact)
             c = jnp.where(kid >= 0, c, 1.0)
             sk.append(s)
             ck.append(c)
@@ -336,9 +334,8 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax,
             G = jnp.clip(G, -_GRAD_CAP, _GRAD_CAP)
             G = jnp.where(jnp.isnan(G), 0.0, G)
             G = jnp.where(valid[k], G, 0.0)
-            dPk = jax.lax.dot_general(
-                G, sk[k], dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)        # [C, N, N]
+            dPk = mm_dot_general(
+                G, sk[k], (((2,), (2,)), ((0,), (0,))), exact)  # [C,N,N]
 
             # stage & DMA this kid's dP row (written once per tile)
             @pl.when(valid[k])
@@ -356,10 +353,9 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax,
 
             @pl.when(kaslot >= 0)
             def _():
-                Ak = jax.lax.dot_general(
+                Ak = mm_dot_general(
                     pkstage[ph, k], G,
-                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)    # [C, N, Ht]
+                    (((1,), (1,)), ((0,), (0,))), exact)   # [C, N, Ht]
                 abuf[jnp.maximum(kaslot, 0)] = Ak
         return nw
 
@@ -398,7 +394,8 @@ def _fwd_big_call(P, tips, pi, topo: Topology, Ht, want_S, interpret=False):
     plan = _plan(topo)
     ns, nnode, nint = topo.ns, topo.nnode, topo.n_internal
     grid = Hp // Ht
-    kern = partial(_fwd_big_kernel, nnode, nint, ns, N, C, Ht, Kmax, want_S)
+    kern = partial(_fwd_big_kernel, nnode, nint, ns, N, C, Ht, Kmax,
+                   want_S, interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
@@ -442,7 +439,8 @@ def _bwd_big_call(P, tips, pi, gbar, S, topo: Topology, Ht,
     ns, nnode, nint = topo.ns, topo.nnode, topo.n_internal
     grid = Hp // Ht
     gb = jnp.pad(gbar.astype(jnp.float32), ((0, 0), (0, Hp - H)))
-    kern = partial(_bwd_big_kernel, nnode, nint, ns, N, C, Ht, Kmax)
+    kern = partial(_bwd_big_kernel, nnode, nint, ns, N, C, Ht, Kmax,
+                   interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),

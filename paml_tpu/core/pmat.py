@@ -82,20 +82,83 @@ def _eigh_refined(S: jnp.ndarray):
     return jnp.linalg.eigh(S)
 
 
+# ---------------------------------------------------------------------------
+# short-branch uniformization series (f32 accuracy rescue)
+#
+# The f32 spectral reconstruction carries ~2e-6 ABSOLUTE noise (eigh +
+# 6-pass einsum roundoff).  On a short branch the true off-diagonal
+# entries are O(Q_ij * t) — often below 1e-5 — so that noise is a huge
+# RELATIVE error exactly where site likelihoods divide by it (measured:
+# ~2.7 lnL units on abglobin at small t).  Uniformization
+#   P(t) = e^{-qt} sum_k (qt)^k/k! M^k,   M = I + Q/q >= 0,  q = max -Q_ii
+# has only positive terms — no cancellation — so every entry is computed
+# to ~n*K*eps RELATIVE accuracy.  For qt <= _UNIF_A_MAX a K-term series
+# is exact to ~1e-9 relative truncation; longer branches keep the
+# spectral path (their entries are large enough that absolute noise is
+# harmless).  This mirrors the reference's accuracy escape hatch for
+# small-t P matrices (PMatUVRoot's t < 1e-10 identity snap,
+# src/tools.c:516-540) but solves the f32 problem instead of the t = 0
+# problem.
+# ---------------------------------------------------------------------------
+
+_UNIF_K = 12          # series terms
+_UNIF_A_MAX = 1.0     # use the series where q*t <= this
+
+
+def _series_pmat(Q: jnp.ndarray, mm: jnp.ndarray, t: jnp.ndarray):
+    """(P_series [..., n, n], a [...]): uniformization series and q*t.
+
+    mm: [n, n] bool mask of active (pi > 0) states; masked rows/cols are
+    zeroed so unobserved states get identity rows (reference reduced-Q
+    semantics, eigenQREV src/tools.c:5023)."""
+    n = Q.shape[-1]
+    Qm = jnp.where(mm, Q, 0.0)
+    q = jnp.maximum(jnp.max(-jnp.diagonal(Qm, axis1=-2, axis2=-1), -1), 1e-30)
+    M = jnp.eye(n, dtype=Q.dtype) + Qm / q
+    a = q * t                                       # [...] batch
+    # M^k once (K tiny matmuls), then one weighted sum over k
+    pows = [jnp.eye(n, dtype=Q.dtype), M]
+    for _ in range(2, _UNIF_K + 1):
+        pows.append(jnp.matmul(pows[-1], M, precision=_PREC))
+    Mk = jnp.stack(pows)                            # [K+1, n, n]
+    asafe = jnp.minimum(a, _UNIF_A_MAX)             # keep powers tame
+    # Poisson weights by the recurrence w_k = w_{k-1} * a / k (the
+    # log-space form has a 0 * log(0) NaN in its tangent at t = 0)
+    ws = [jnp.exp(-asafe)]
+    for k in range(1, _UNIF_K + 1):
+        ws.append(ws[-1] * asafe / k)
+    w = jnp.stack(ws, axis=-1)                      # [..., K+1]
+    P = jnp.einsum("...k,kij->...ij", w, Mk, precision=_PREC)
+    return P, a
+
+
+def _use_series(Q) -> bool:
+    """Short-branch series rescue is an f32 concern; f64 spectral noise
+    (~1e-15) never dominates a likelihood."""
+    return jnp.result_type(Q) == jnp.float32
+
+
 @jax.custom_jvp
 def pmat_rev(Q: jnp.ndarray, pi: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """P(t) for a reversible rate matrix.
 
     Q: [n, n] reversible w.r.t. pi; pi: [n]; t: [...] any batch shape.
-    Returns [..., n, n].  P = D^{-1/2} U exp(Lam t) U^T D^{1/2}.
+    Returns [..., n, n].  P = D^{-1/2} U exp(Lam t) U^T D^{1/2}; in f32,
+    branches with q*t <= 1 instead use the cancellation-free
+    uniformization series (relative-accurate tiny entries; see above).
     """
-    S, sqp, _ = _sym_parts(Q, pi)
+    S, sqp, mask = _sym_parts(Q, pi)
     lam, U = _eigh_refined(S)
     L = U / sqp[:, None]              # [n, k]
     R = U.T * sqp[None, :]            # [k, n]
     e = jnp.exp(t[..., None] * lam)   # [..., k]
     P = jnp.einsum("ik,...k,kj->...ij", L, e, R, precision=_PREC)
-    return jnp.maximum(P, 0.0)
+    P = jnp.maximum(P, 0.0)
+    if _use_series(Q):
+        mm = mask[:, None] & mask[None, :]
+        Ps, a = _series_pmat(Q, mm, t)
+        P = jnp.where((a <= _UNIF_A_MAX)[..., None, None], Ps, P)
+    return P
 
 
 @pmat_rev.defjvp
@@ -141,7 +204,17 @@ def _pmat_rev_jvp(primals, tangents):
     # match the primal's max(P, 0) clip (otherwise the value under AD
     # differs from the plain value by the f32 eigh reconstruction noise)
     dP = jnp.where(P > 0, dP_core + dP_pi, 0.0)
-    return jnp.maximum(P, 0.0), dP
+    P = jnp.maximum(P, 0.0)
+    if _use_series(Q):
+        # short branches: series primal + its exact tangent (P = expm(Qt)
+        # does not depend on pi given Q, so dpi contributes nothing here)
+        mm2 = mask[:, None] & mask[None, :]
+        (Ps, a), (dPs, _da) = jax.jvp(
+            lambda Qv, tv: _series_pmat(Qv, mm2, tv), (Q, t), (dQ, dt))
+        sel = (a <= _UNIF_A_MAX)[..., None, None]
+        P = jnp.where(sel, Ps, P)
+        dP = jnp.where(sel, dPs, dP)
+    return P, dP
 
 
 # ---------------------------------------------------------------------------
