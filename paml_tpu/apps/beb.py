@@ -63,8 +63,8 @@ def _per_omega_loglik(data: seqio.PackedData, topo: Topology, spec,
     tfull = jnp.zeros((topo.nnode,), dtype).at[jnp.asarray(branch_nodes)].set(t)
     ts = tfull[:, None] * jnp.asarray(qfactor, dtype)        # [nnode, 1]
     ts = jnp.broadcast_to(ts, (topo.nnode, len(omegas)))
-    from ..core.pmat import pmat_rev
-    P = jax.vmap(pmat_rev, in_axes=(0, None, 1), out_axes=1)(Qs, pi, ts)
+    from ..core.pmat import pmat_rev, pmat_rev_multi
+    P = pmat_rev_multi(Qs, pi, ts)
     piC = jnp.broadcast_to(pi, (len(omegas), graph.n))
     lnf = pruning.class_site_lnf(P, tips, topo, piC)          # [K, H]
     return np.asarray(lnf), pi_np

@@ -21,7 +21,7 @@ import numpy as np
 from ..core import pruning
 from ..core.dgamma import betaincinv, gammaincinv
 from ..core.optim import FitResult, maximize, simplex_decode, simplex_encode
-from ..core.pmat import pmat_rev
+from ..core.pmat import pmat_rev, pmat_rev_multi
 from ..core.topology import Topology, from_treenode
 from ..io import seqio, treeio
 from ..models import codon as codonmod
@@ -576,7 +576,7 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
             tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
         # ts[node, b*k] = t[node] * scale[b*k]
         ts = tfull[:, None] * scale_flat[None, :]           # [nnode, B*K]
-        P_all = jax.vmap(pmat_rev, in_axes=(0, None, 1), out_axes=1)(
+        P_all = pmat_rev_multi(
             Qs, pi_d, ts)                                   # [nnode, B*K, n, n]
         P_all = P_all.reshape(nnode, Bc, K, graph.n, graph.n)
         P = _select_branch_type(P_all, btype, Bc)           # [nnode, K, n, n]
@@ -812,7 +812,7 @@ def make_aadist_objective(data: seqio.PackedData, topo: Topology,
         scales = jnp.stack(scales)
         tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
         ts = tfull[:, None] * scales[None, :]               # [nnode, B]
-        P_all = jax.vmap(pmat_rev, in_axes=(0, None, 1), out_axes=1)(
+        P_all = pmat_rev_multi(
             Qs, pi, ts)                                     # [nnode, B, n, n]
         P = _select_branch_type(P_all[:, :, None], btype, B)  # [nnode,1,n,n]
         piC = pi[None, :]

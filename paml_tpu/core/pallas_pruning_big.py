@@ -100,7 +100,7 @@ def choose_tile_big(topo: Topology, C: int, N: int = 128) -> int | None:
         slot_b = (plan.nslots + 2) * C * N * Ht * 4     # cbuf / abuf
         stage_b = 2 * C * N * Ht * 4                    # fwd s-ring
         bstage_b = 2 * (Kmax + 1) * C * N * Ht * 4      # bwd S prefetch
-        p_b = 2 * max(1, Kmax) * C * N * N * 4          # P rings
+        p_b = 2 * max(1, Kmax) * C * (N // 2) * N * 4   # P rings (NJ rows)
         tips_b = 2 * ns * Ht * 4
         io_b = 4 * C * Ht * 4
         if slot_b + max(stage_b, bstage_b) + p_b + tips_b + io_b \
@@ -120,16 +120,26 @@ def _onehot(states_row, N, Ht, dtype):
 
 
 def _bdot(P, s, exact=False):
-    """[C, N, N] @ [C, N, Ht] batched over C."""
+    """[C, NJ, N] @ [C, N, Ht] -> [C, NJ, Ht] batched over C.
+
+    P rows (the parent-state axis) are padded only to NJ = 64 sublanes
+    while the contraction axis keeps the 128-lane tile: half the MXU
+    passes of a square 128x128 pad with the K dimension still full."""
     return mm_dot_general(P, s, (((2,), (1,)), ((0,), (0,))), exact)
 
 
-def _fwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, want_S, exact,
+def _fwd_big_kernel(nnode, nint, ns, NJ, N, C, Ht, Kmax, want_S, exact,
                     fsched, states_ref, P_hbm, pi_ref,
                     lnf_ref, S_hbm,
                     cbuf, pstage, sstage, psem, ssem):
     dtype = jnp.float32
     tile = pl.program_id(0)
+
+    # contribution rows NJ..N are never written by the [C, NJ, Ht] matmul
+    # below; zero them once so child products read zeros there
+    @pl.when(tile == 0)
+    def _():
+        cbuf[...] = jnp.zeros_like(cbuf)
 
     def p_dma(i, slot):
         v = fsched[0, i]
@@ -190,8 +200,8 @@ def _fwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, want_S, exact,
 
         pltpu.make_async_copy(P_hbm.at[v], pstage.at[i % 2],
                               psem.at[i % 2]).wait()
-        cv = _bdot(pstage[i % 2], s, exact)
-        cbuf[out_slot] = cv
+        cv = _bdot(pstage[i % 2], s, exact)          # [C, NJ, Ht]
+        cbuf[out_slot, :, 0:NJ, :] = cv
 
         @pl.when(i == nnode - 1)
         def _():
@@ -218,11 +228,11 @@ def _fwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, want_S, exact,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, exact,
+def _bwd_big_kernel(nnode, nint, ns, NJ, N, C, Ht, Kmax, exact,
                     bsched, states_ref, P_hbm, pi_ref, gbar_ref, S_hbm,
                     dP_ref, dpi_ref,
                     abuf, pkstage, skstage, dstage, pksem, sksem, dsem):
-    """Downward adjoint sweep.  dP_ref is an HBM [grid, nnode, C, N, N]
+    """Downward adjoint sweep.  dP_ref is an HBM [grid, nnode, C, NJ, N]
     buffer; this tile's slab rows are written once each (every node has
     one parent) from a 2-deep staging ring, then summed outside.
 
@@ -326,16 +336,16 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, exact,
         suf = [jnp.ones_like(ck[0])]
         for k in range(Kmax - 2, -1, -1):
             suf.insert(0, suf[0] * ck[k + 1])
-        base = Av / msafe[:, None, :]
+        base = Av[:, 0:NJ, :] / msafe[:, None, :]
         for k in range(Kmax):
             kid = bsched[3 + 3 * k, i]
             kaslot = bsched[5 + 3 * k, i]
-            G = base * (pre[k] * suf[k])
+            G = base * (pre[k] * suf[k])             # [C, NJ, Ht]
             G = jnp.clip(G, -_GRAD_CAP, _GRAD_CAP)
             G = jnp.where(jnp.isnan(G), 0.0, G)
             G = jnp.where(valid[k], G, 0.0)
             dPk = mm_dot_general(
-                G, sk[k], (((2,), (2,)), ((0,), (0,))), exact)  # [C,N,N]
+                G, sk[k], (((2,), (2,)), ((0,), (0,))), exact)  # [C,NJ,N]
 
             # stage & DMA this kid's dP row (written once per tile)
             @pl.when(valid[k])
@@ -353,9 +363,11 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, exact,
 
             @pl.when(kaslot >= 0)
             def _():
+                # contract the NJ parent-state axis: P^T G -> [C, N, Ht];
+                # rows >= n are zero automatically (zero P columns)
                 Ak = mm_dot_general(
                     pkstage[ph, k], G,
-                    (((1,), (1,)), ((0,), (0,))), exact)   # [C, N, Ht]
+                    (((1,), (1,)), ((0,), (0,))), exact)
                 abuf[jnp.maximum(kaslot, 0)] = Ak
         return nw
 
@@ -374,27 +386,29 @@ def _bwd_big_kernel(nnode, nint, ns, N, C, Ht, Kmax, exact,
 def _grids(topo, P, tips, pi, Ht):
     n = P.shape[-1]
     # Mosaic requires HBM DMA slices to be tiling-aligned (128 lanes) in
-    # the minor dimension; P rows are also padded to 128 so the per-node
-    # [C, N, N] slice is legal and the MXU tile is native 128x128
+    # the minor dimension, so the contraction axis pads to N = 128; the
+    # parent-state (matmul output row) axis only needs a sublane multiple
+    # — NJ = 64 halves both the MXU passes and the P/dP HBM traffic
     N = 128
+    NJ = 64
     C = P.shape[1]
     H = tips.shape[1]
     Hp = _round_up(H, Ht)
     Pp = jnp.pad(P.astype(jnp.float32),
-                 ((0, 0), (0, 0), (0, N - n), (0, N - n)))
+                 ((0, 0), (0, 0), (0, NJ - n), (0, N - n)))
     pip = jnp.pad(pi.astype(jnp.float32), ((0, 0), (0, N - n)))
     tp = jnp.pad(jnp.asarray(tips, jnp.int32), ((0, 0), (0, Hp - H)))
-    return Pp, tp, pip, n, N, C, H, Hp
+    return Pp, tp, pip, n, NJ, N, C, H, Hp
 
 
 def _fwd_big_call(P, tips, pi, topo: Topology, Ht, want_S, interpret=False):
     from .pallas_pruning import _params
     fs, _, Kmax = _sched_arrays(topo)
-    Pp, tp, pip, n, N, C, H, Hp = _grids(topo, P, tips, pi, Ht)
+    Pp, tp, pip, n, NJ, N, C, H, Hp = _grids(topo, P, tips, pi, Ht)
     plan = _plan(topo)
     ns, nnode, nint = topo.ns, topo.nnode, topo.n_internal
     grid = Hp // Ht
-    kern = partial(_fwd_big_kernel, nnode, nint, ns, N, C, Ht, Kmax,
+    kern = partial(_fwd_big_kernel, nnode, nint, ns, NJ, N, C, Ht, Kmax,
                    want_S, interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -410,7 +424,7 @@ def _fwd_big_call(P, tips, pi, topo: Topology, Ht, want_S, interpret=False):
         ),
         scratch_shapes=[
             pltpu.VMEM((plan.nslots + 1, C, N, Ht), jnp.float32),
-            pltpu.VMEM((2, C, N, N), jnp.float32),
+            pltpu.VMEM((2, C, NJ, N), jnp.float32),
             pltpu.VMEM((2, C, N, Ht), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -434,12 +448,12 @@ def _bwd_big_call(P, tips, pi, gbar, S, topo: Topology, Ht,
                   interpret=False):
     from .pallas_pruning import _params
     _, bs, Kmax = _sched_arrays(topo)
-    Pp, tp, pip, n, N, C, H, Hp = _grids(topo, P, tips, pi, Ht)
+    Pp, tp, pip, n, NJ, N, C, H, Hp = _grids(topo, P, tips, pi, Ht)
     plan = _plan(topo)
     ns, nnode, nint = topo.ns, topo.nnode, topo.n_internal
     grid = Hp // Ht
     gb = jnp.pad(gbar.astype(jnp.float32), ((0, 0), (0, Hp - H)))
-    kern = partial(_bwd_big_kernel, nnode, nint, ns, N, C, Ht, Kmax,
+    kern = partial(_bwd_big_kernel, nnode, nint, ns, NJ, N, C, Ht, Kmax,
                    interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -457,9 +471,9 @@ def _bwd_big_call(P, tips, pi, gbar, S, topo: Topology, Ht,
         ),
         scratch_shapes=[
             pltpu.VMEM((plan.nslots + 2, C, N, Ht), jnp.float32),
-            pltpu.VMEM((2, Kmax, C, N, N), jnp.float32),
+            pltpu.VMEM((2, Kmax, C, NJ, N), jnp.float32),
             pltpu.VMEM((2, Kmax + 1, C, N, Ht), jnp.float32),
-            pltpu.VMEM((2, C, N, N), jnp.float32),
+            pltpu.VMEM((2, C, NJ, N), jnp.float32),
             pltpu.SemaphoreType.DMA((2, Kmax)),
             pltpu.SemaphoreType.DMA((2, Kmax + 1)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -469,7 +483,7 @@ def _bwd_big_call(P, tips, pi, gbar, S, topo: Topology, Ht,
         kern,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((grid, nnode, C, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((grid, nnode, C, NJ, N), jnp.float32),
             jax.ShapeDtypeStruct((grid, C, N), jnp.float32),
         ),
         compiler_params=_params(interpret),

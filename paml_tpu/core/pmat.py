@@ -83,85 +83,157 @@ def _eigh_refined(S: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
-# short-branch uniformization series (f32 accuracy rescue)
+# f32 path: uniformization + masked squaring (no eigendecomposition)
 #
-# The f32 spectral reconstruction carries ~2e-6 ABSOLUTE noise (eigh +
-# 6-pass einsum roundoff).  On a short branch the true off-diagonal
-# entries are O(Q_ij * t) — often below 1e-5 — so that noise is a huge
-# RELATIVE error exactly where site likelihoods divide by it (measured:
-# ~2.7 lnL units on abglobin at small t).  Uniformization
+# Two independent reasons the f32 spectral path is wrong for TPU:
+#
+# 1. ACCURACY.  The f32 spectral reconstruction carries ~2e-6 ABSOLUTE
+#    noise (eigh + 6-pass einsum roundoff).  On a short branch the true
+#    off-diagonal entries are O(Q_ij * t) — often below 1e-5 — so that
+#    noise is a huge RELATIVE error exactly where site likelihoods
+#    divide by it (measured: ~2.7 lnL units on abglobin at small t).
+# 2. SPEED.  XLA:TPU's eigh is an iterative QDWH/divide-and-conquer
+#    solver whose runtime is data-dependent: the clustered spectrum of a
+#    real codon Q takes ~0.5 ms per eval (profiled: 1/3 of a whole
+#    lnL+gradient step), 20x slower than on a random test matrix.
+#
+# Uniformization fixes both:
 #   P(t) = e^{-qt} sum_k (qt)^k/k! M^k,   M = I + Q/q >= 0,  q = max -Q_ii
 # has only positive terms — no cancellation — so every entry is computed
-# to ~n*K*eps RELATIVE accuracy.  For qt <= _UNIF_A_MAX a K-term series
-# is exact to ~1e-9 relative truncation; longer branches keep the
-# spectral path (their entries are large enough that absolute noise is
-# harmless).  This mirrors the reference's accuracy escape hatch for
-# small-t P matrices (PMatUVRoot's t < 1e-10 identity snap,
-# src/tools.c:516-540) but solves the f32 problem instead of the t = 0
-# problem.
+# to ~n*K*eps RELATIVE accuracy, and it is nothing but K tiny matmuls
+# (MXU-friendly, no iteration).  Branches with a = q*t > 1 evaluate the
+# series at a/2^s (s = ceil(log2 a), masked per branch) and square s
+# times; squaring a positive matrix doubles the relative error per step,
+# which for the <= _UNIF_NSQ steps needed here stays ~1e-4 — and those
+# long branches have large entries where that is harmless.  This
+# replaces the reference's eigenQREV + PMatUVRoot pipeline
+# (src/tools.c:5023, :516) on the f32 path; f64 keeps the spectral form
+# below with its Daleckii-Krein tangent (exact at degenerate
+# eigenvalues).  The reference's own small-t escape hatch (t < 1e-10
+# identity snap, src/tools.c:516-540) is subsumed.
 # ---------------------------------------------------------------------------
 
-_UNIF_K = 12          # series terms
-_UNIF_A_MAX = 1.0     # use the series where q*t <= this
+_UNIF_K = 24          # series terms: Poisson tail P(X>24 | a0=5) ~ 3e-10
+_UNIF_AMAX = 5.0      # series radius; above this, scale down and square
+_UNIF_NSQ = 6         # max squarings: exact up to q*t = 320, clamped above
 
 
-def _series_pmat(Q: jnp.ndarray, mm: jnp.ndarray, t: jnp.ndarray):
-    """(P_series [..., n, n], a [...]): uniformization series and q*t.
+def _pmat_rev_unif(Q: jnp.ndarray, pi: jnp.ndarray, t: jnp.ndarray):
+    """f32 P(t): uniformization series + per-branch masked squaring.
 
-    mm: [n, n] bool mask of active (pi > 0) states; masked rows/cols are
-    zeroed so unobserved states get identity rows (reference reduced-Q
-    semantics, eigenQREV src/tools.c:5023)."""
+    Zero-pi states get zeroed Q rows/cols hence identity P rows
+    (reference reduced-Q semantics, eigenQREV src/tools.c:5023).
+    Plain autodiff (matmul chain) — no eigh, no custom tangent needed."""
     n = Q.shape[-1]
+    mask = pi > PI_FLOOR
+    mm = mask[..., :, None] & mask[..., None, :]
     Qm = jnp.where(mm, Q, 0.0)
     q = jnp.maximum(jnp.max(-jnp.diagonal(Qm, axis1=-2, axis2=-1), -1), 1e-30)
     M = jnp.eye(n, dtype=Q.dtype) + Qm / q
     a = q * t                                       # [...] batch
-    # M^k once (K tiny matmuls), then one weighted sum over k
+    # M^k once (K tiny matmuls), then one weighted sum over k per branch
     pows = [jnp.eye(n, dtype=Q.dtype), M]
     for _ in range(2, _UNIF_K + 1):
         pows.append(jnp.matmul(pows[-1], M, precision=_PREC))
     Mk = jnp.stack(pows)                            # [K+1, n, n]
-    asafe = jnp.minimum(a, _UNIF_A_MAX)             # keep powers tame
-    # Poisson weights by the recurrence w_k = w_{k-1} * a / k (the
+    # per-branch squaring count s = ceil(log2(a / AMAX)) clamped [0, NSQ];
+    # with AMAX = 5 real datasets essentially never need squaring, so the
+    # whole squaring loop sits behind a lax.cond and costs nothing unless
+    # a line-search trial wanders to an extreme branch length
+    s_b = jnp.ceil(jnp.log2(jnp.maximum(a / _UNIF_AMAX, 1.0)))
+    s_b = jnp.minimum(s_b, float(_UNIF_NSQ))
+    a0 = jnp.minimum(a / (2.0 ** s_b), 2.0 * _UNIF_AMAX)  # >AMAX iff clamped
+    # Poisson weights by the recurrence w_k = w_{k-1} * a0 / k (the
     # log-space form has a 0 * log(0) NaN in its tangent at t = 0)
-    ws = [jnp.exp(-asafe)]
+    ws = [jnp.exp(-a0)]
     for k in range(1, _UNIF_K + 1):
-        ws.append(ws[-1] * asafe / k)
+        ws.append(ws[-1] * a0 / k)
     w = jnp.stack(ws, axis=-1)                      # [..., K+1]
     P = jnp.einsum("...k,kij->...ij", w, Mk, precision=_PREC)
-    return P, a
 
+    def _square(P):
+        for i in range(_UNIF_NSQ):
+            P2 = jnp.matmul(P, P, precision=_PREC)
+            P = jnp.where((s_b > i)[..., None, None], P2, P)
+        return P
 
-def _use_series(Q) -> bool:
-    """Short-branch series rescue is an f32 concern; f64 spectral noise
-    (~1e-15) never dominates a likelihood."""
-    return jnp.result_type(Q) == jnp.float32
+    return jax.lax.cond(jnp.any(s_b > 0), _square, lambda P: P, P)
 
 
 @jax.custom_jvp
-def pmat_rev(Q: jnp.ndarray, pi: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """P(t) for a reversible rate matrix.
-
-    Q: [n, n] reversible w.r.t. pi; pi: [n]; t: [...] any batch shape.
-    Returns [..., n, n].  P = D^{-1/2} U exp(Lam t) U^T D^{1/2}; in f32,
-    branches with q*t <= 1 instead use the cancellation-free
-    uniformization series (relative-accurate tiny entries; see above).
-    """
-    S, sqp, mask = _sym_parts(Q, pi)
+def _pmat_rev_spectral(Q: jnp.ndarray, pi: jnp.ndarray,
+                       t: jnp.ndarray) -> jnp.ndarray:
+    """Spectral P(t) = D^{-1/2} U exp(Lam t) U^T D^{1/2} (f64 path)."""
+    S, sqp, _ = _sym_parts(Q, pi)
     lam, U = _eigh_refined(S)
     L = U / sqp[:, None]              # [n, k]
     R = U.T * sqp[None, :]            # [k, n]
     e = jnp.exp(t[..., None] * lam)   # [..., k]
     P = jnp.einsum("ik,...k,kj->...ij", L, e, R, precision=_PREC)
-    P = jnp.maximum(P, 0.0)
-    if _use_series(Q):
-        mm = mask[:, None] & mask[None, :]
-        Ps, a = _series_pmat(Q, mm, t)
-        P = jnp.where((a <= _UNIF_A_MAX)[..., None, None], Ps, P)
-    return P
+    return jnp.maximum(P, 0.0)
 
 
-@pmat_rev.defjvp
+def pmat_rev(Q: jnp.ndarray, pi: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """P(t) for a reversible rate matrix.
+
+    Q: [n, n] reversible w.r.t. pi; pi: [n]; t: [...] any batch shape.
+    Returns [..., n, n].  f64 uses the spectral form with a
+    Daleckii-Krein tangent; f32 (the TPU path) uses uniformization with
+    masked squaring (see the design note above).
+    """
+    if jnp.result_type(Q) == jnp.float32:
+        return _pmat_rev_unif(Q, pi, t)
+    return _pmat_rev_spectral(Q, pi, t)
+
+
+def pmat_rev_multi(Qs: jnp.ndarray, pi: jnp.ndarray,
+                   ts: jnp.ndarray) -> jnp.ndarray:
+    """P(t) for G rate matrices at once: Qs [G, n, n], pi [n] or [G, n],
+    ts [..., G] -> P [..., G, n, n].
+
+    Equivalent to vmap(pmat_rev) over G but keeps the f32 path's
+    rarely-taken squaring loop behind ONE top-level lax.cond — a vmapped
+    cond lowers to select and would execute the squaring matmuls on
+    every call (measured: ~25% of a 2k-branch branch-site eval).
+    """
+    if jnp.result_type(Qs) != jnp.float32:
+        pi_ax = None if jnp.ndim(pi) == 1 else 0
+        return jax.vmap(_pmat_rev_spectral, in_axes=(0, pi_ax, -1),
+                        out_axes=-3)(Qs, pi, ts)
+    n = Qs.shape[-1]
+    G = Qs.shape[0]
+    mask = pi > PI_FLOOR                            # [n] or [G, n]
+    if mask.ndim == 1:
+        mask = jnp.broadcast_to(mask, (G, n))
+    mm = mask[:, :, None] & mask[:, None, :]
+    Qm = jnp.where(mm, Qs, 0.0)
+    q = jnp.maximum(jnp.max(-jnp.diagonal(Qm, axis1=-2, axis2=-1), -1),
+                    1e-30)                          # [G]
+    M = jnp.eye(n, dtype=Qs.dtype) + Qm / q[:, None, None]
+    pows = [jnp.broadcast_to(jnp.eye(n, dtype=Qs.dtype), (G, n, n)), M]
+    for _ in range(2, _UNIF_K + 1):
+        pows.append(jnp.matmul(pows[-1], M, precision=_PREC))
+    Mk = jnp.stack(pows, axis=1)                    # [G, K+1, n, n]
+    a = q * ts                                      # [..., G]
+    s_b = jnp.ceil(jnp.log2(jnp.maximum(a / _UNIF_AMAX, 1.0)))
+    s_b = jnp.minimum(s_b, float(_UNIF_NSQ))
+    a0 = jnp.minimum(a / (2.0 ** s_b), 2.0 * _UNIF_AMAX)
+    ws = [jnp.exp(-a0)]
+    for k in range(1, _UNIF_K + 1):
+        ws.append(ws[-1] * a0 / k)
+    w = jnp.stack(ws, axis=-1)                      # [..., G, K+1]
+    P = jnp.einsum("...gk,gkij->...gij", w, Mk, precision=_PREC)
+
+    def _square(P):
+        for i in range(_UNIF_NSQ):
+            P2 = jnp.matmul(P, P, precision=_PREC)
+            P = jnp.where((s_b > i)[..., None, None], P2, P)
+        return P
+
+    return jax.lax.cond(jnp.any(s_b > 0), _square, lambda P: P, P)
+
+
+@_pmat_rev_spectral.defjvp
 def _pmat_rev_jvp(primals, tangents):
     Q, pi, t = primals
     dQ, dpi, dt = tangents
@@ -204,17 +276,7 @@ def _pmat_rev_jvp(primals, tangents):
     # match the primal's max(P, 0) clip (otherwise the value under AD
     # differs from the plain value by the f32 eigh reconstruction noise)
     dP = jnp.where(P > 0, dP_core + dP_pi, 0.0)
-    P = jnp.maximum(P, 0.0)
-    if _use_series(Q):
-        # short branches: series primal + its exact tangent (P = expm(Qt)
-        # does not depend on pi given Q, so dpi contributes nothing here)
-        mm2 = mask[:, None] & mask[None, :]
-        (Ps, a), (dPs, _da) = jax.jvp(
-            lambda Qv, tv: _series_pmat(Qv, mm2, tv), (Q, t), (dQ, dt))
-        sel = (a <= _UNIF_A_MAX)[..., None, None]
-        P = jnp.where(sel, Ps, P)
-        dP = jnp.where(sel, dPs, dP)
-    return P, dP
+    return jnp.maximum(P, 0.0), dP
 
 
 # ---------------------------------------------------------------------------
