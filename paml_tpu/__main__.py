@@ -2,6 +2,8 @@
 
 Usage:
   python -m paml_tpu baseml  [baseml.ctl]
+  python -m paml_tpu basemlg [baseml.ctl]     # continuous-gamma rates
+  python -m paml_tpu pamp    [pamp.ctl]       # parsimony rate analysis
   python -m paml_tpu codeml  [codeml.ctl]
   python -m paml_tpu yn00    [yn00.ctl]
   python -m paml_tpu chi2    [df stat]        # LRT p-values (reference chi2)
@@ -135,9 +137,22 @@ def run_baseml(ctl_path: str) -> None:
             if res.rate_params.size:
                 out.write("rate parameters: "
                           + " ".join(f"{v:.6f}" for v in res.rate_params) + "\n")
-            if res.alpha is not None:
+            if res.alpha is not None and not spec.nparK:
                 out.write("alpha = "
                           + " ".join(f"{a:.5f}" for a in res.alpha) + "\n")
+            if not spec.fix_rho:
+                # AdG autocorrelation (reference: rho output,
+                # src/baseml.c:806)
+                out.write(f"rho (auto-discrete-gamma) = "
+                          f"{float(res.x[-1]):.5f}\n")
+            if spec.nparK:
+                K = spec.ncatG
+                n_extra = {1: 0, 2: K - 1, 3: (K - 1) * (K - 1),
+                           4: K * (K - 1)}[spec.nparK]
+                rk = res.x[len(res.x) - (K - 1) - n_extra:][:K - 1]
+                out.write(f"nparK = {spec.nparK} free rates 1..K-1 "
+                          f"(K = {K}; mean rate constrained to 1): "
+                          + " ".join(f"{v:.5f}" for v in rk) + "\n")
             if (res.rgene.size > 1):
                 out.write("rgene: "
                           + " ".join(f"{v:.5f}" for v in res.rgene) + "\n")
@@ -145,6 +160,14 @@ def run_baseml(ctl_path: str) -> None:
                 out.write("SEs: " + " ".join(f"{v:.6f}" for v in res.SEs) + "\n")
             write_rst1("rst1", [res.lnL] + [float(v) for v in res.x],
                        append=True)
+            if spec.nhomo:
+                # nonhomogeneous fits report the per-set base frequencies
+                # (reference: DetailOutput nhomo block, src/baseml.c:786)
+                out.write("base frequency parameter sets (TCAG):\n")
+                for k, p4 in enumerate(np.atleast_2d(res.pi)):
+                    out.write(f"  set {k + 1}: "
+                              + " ".join(f"{v:.5f}" for v in p4) + "\n")
+                continue
             # side outputs when the single-gene hooks exist
             neg, unpack, x0b, bb = baseml.make_objective(data, topo, spec)
             import jax.numpy as jnp
@@ -350,6 +373,31 @@ def run_codeml(ctl_path: str) -> None:
                     if rate_ancestor and itree == 0:
                         _write_ancestral_rst(frst, data, topo, sp, neg,
                                              xj, res)
+                if (sp.seqtype == 1 and sp.model == 2 and ns_model == 2
+                        and itree == 0):
+                    # branch-site model A BEB (reference:
+                    # lfunNSsites_ACD, src/codeml.c:6827)
+                    acd = bebmod.beb_branchsite_A(data, topo, sp, res)
+                    post = acd["postSite"]
+                    frst.write("\nBayes Empirical Bayes (BEB) "
+                               "probabilities for 4 classes "
+                               "(branch-site model A)\n")
+                    frst.write("site  class0   class1   class2a  "
+                               "class2b\n")
+                    for s_i, h in enumerate(data.site_pattern):
+                        frst.write(f"{s_i + 1:5d}  "
+                                   + "  ".join(f"{post[k, h]:.5f}"
+                                               for k in range(4)) + "\n")
+                    out.write("\nBayes Empirical Bayes (BEB) analysis "
+                              "(Yang, Wong & Nielsen 2005)\n")
+                    out.write("Positive sites for foreground lineages "
+                              "Prob(w>1):\n")
+                    for s_i, h in enumerate(data.site_pattern):
+                        pp = acd["pos_prob"][h]
+                        if pp > 0.5:
+                            sig = ("**" if pp > 0.99 else
+                                   "*" if pp > 0.95 else "")
+                            out.write(f"{s_i + 1:6d} {pp:.3f}{sig}\n")
                 if (sp.seqtype == 1 and sp.model == 0
                         and ns_model in (2, 8) and itree == 0):
                     spbeb = bebmod.beb(data, topo, sp, res)
@@ -504,6 +552,104 @@ def run_yn00(ctl_path: str) -> None:
     print(f"results written to {opts['outfile']}")
 
 
+def run_basemlg(ctl_path: str) -> None:
+    """basemlg: ML under continuous-gamma rates (reference:
+    src/basemlg.c:82; same ctl format as baseml)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import dataclasses
+
+    import numpy as np
+
+    from .apps import baseml
+    from .core.topology import from_treenode
+    from .io import ctl as ctlmod
+    from .io import seqio, treeio
+
+    opts = ctlmod.read_ctl(ctl_path)
+    spec, seqfile, treefile, outfile, extras = \
+        ctlmod.baseml_spec(opts, ctl_path)
+    # continuous gamma always estimates alpha unless fixed at a positive
+    # value (reference: basemlg's com.alpha handling, src/basemlg.c:141)
+    spec = dataclasses.replace(
+        spec, continuous_gamma=True,
+        fix_alpha=bool(spec.fix_alpha) and spec.alpha > 0)
+    aln = seqio.read_alignment(seqfile, seqio.BASE_SEQ)
+    data = seqio.pack(aln, cleandata=spec.cleandata)
+    if data.ns > 10:
+        print(f"warning: basemlg is meant for small trees "
+              f"(ns = {data.ns} > 10; reference limit src/basemlg.c:14)")
+    trees = treeio.read_trees(treefile, data.names)
+    with open(outfile, "w") as out:
+        out.write(f"BASEMLG (paml_tpu) {seqfile}  model {spec.model} "
+                  f"(continuous gamma)\n")
+        for itree, tree in enumerate(trees):
+            topo = from_treenode(tree, data.names)
+            res = baseml.fit_packed(data, topo, spec)
+            bl = dict(zip(res.branch_nodes.tolist(), res.blens.tolist()))
+            out.write(f"\nTREE # {itree + 1}\n")
+            out.write(f"lnL(ntime: {len(res.blens)}  np: {res.np}): "
+                      f"{res.lnL:.6f}\n")
+            out.write(_write_tree_with_blens(res.topo, bl) + "\n")
+            if res.rate_params.size:
+                out.write("rate parameters: "
+                          + " ".join(f"{v:.6f}" for v in res.rate_params)
+                          + "\n")
+            if res.alpha is not None:
+                out.write(f"alpha (continuous gamma) = "
+                          f"{float(res.alpha[0]):.6f}\n")
+            if extras.get("RateAncestor") and itree == 0:
+                rr = baseml.rho_rate(data, topo, spec, res.x)
+                out.write(f"rate-variance decomposition: Vr {rr['Vr']:.6f}"
+                          f"  PEV {rr['PEV']:.6f}  RHO {rr['RHO']:.6f}\n")
+                with open("rates", "w") as fr:
+                    fr.write("site  rate (posterior mean, continuous "
+                             "gamma)\n")
+                    rh = rr["rates"]
+                    for s, h in enumerate(data.site_pattern):
+                        fr.write(f"{s + 1:6d}  {rh[h]:9.5f}\n")
+            print(f"tree {itree + 1}: lnL = {res.lnL:.6f}")
+    print(f"results written to {outfile}")
+
+
+def run_pamp(ctl_path: str) -> None:
+    """pamp: parsimony-based rate analysis (reference: src/pamp.c:67;
+    ctl template examples/pamp.ctl)."""
+    from .apps import pamp
+    from .io import ctl as ctlmod
+
+    opts = ctlmod.read_ctl(ctl_path)
+    g = lambda k, d=None: opts.get(k, d)
+    seqfile = ctlmod.resolve_path(ctl_path, g("seqfile"))
+    treefile = ctlmod.resolve_path(ctl_path, g("treefile"))
+    outfile = g("outfile", "mp")
+    ncatG = int(ctlmod._first_num(g("ncatG", "8")))
+    res = pamp.run(seqfile, treefile, ncatG=ncatG)
+    with open(outfile, "w") as out:
+        out.write(f"PAMP (paml_tpu) {seqfile}\n\n")
+        out.write("# changes (parsimony) histogram: sites with k "
+                  "changes\n")
+        for k, c in enumerate(res.n_changes_hist):
+            if c:
+                out.write(f"  {k:3d}: {c:.0f}\n")
+        out.write(f"\nmean changes {res.mean:.4f}  variance "
+                  f"{res.var:.4f}\n")
+        out.write(f"alpha (method of moments)    = {res.alpha_mm:.5f}\n")
+        out.write(f"alpha (Sullivan et al. 1995) = "
+                  f"{res.alpha_sullivan:.5f}\n")
+        out.write(f"alpha (Yang & Kumar 1996)    = {res.alpha_yk96:.5f}\n")
+        if res.pattern_matrix is not None:
+            out.write("\nsubstitution pattern matrix (parsimony counts, "
+                      "TCAG):\n")
+            for row in res.pattern_matrix:
+                out.write("  " + " ".join(f"{v:9.2f}" for v in row)
+                          + "\n")
+    print(f"alpha estimates: MM {res.alpha_mm:.5f}  Sullivan "
+          f"{res.alpha_sullivan:.5f}  YK96 {res.alpha_yk96:.5f}")
+    print(f"results written to {outfile}")
+
+
 def run_chi2(args: list[str]) -> None:
     """LRT chi-square p-values (reference: src/chi2.c)."""
     from scipy.stats import chi2 as chi2_dist
@@ -540,6 +686,10 @@ def main(argv: list[str] | None = None) -> None:
     prog, *rest = argv
     if prog == "baseml":
         run_baseml(rest[0] if rest else "baseml.ctl")
+    elif prog == "basemlg":
+        run_basemlg(rest[0] if rest else "baseml.ctl")
+    elif prog == "pamp":
+        run_pamp(rest[0] if rest else "pamp.ctl")
     elif prog == "codeml":
         run_codeml(rest[0] if rest else "codeml.ctl")
     elif prog == "yn00":

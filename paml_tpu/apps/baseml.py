@@ -208,8 +208,20 @@ def make_nhomo_objective(data: seqio.PackedData, topo: Topology,
     x0 += r1 * n_rate_sets
     bounds += [(RATE_MIN, RATE_MAX)] * nrate
     if n_pi:
-        enc = np.log(np.maximum(obs[:3], 1e-8) / max(obs[3], 1e-8))
-        x0 += list(enc) * n_pi
+        # start each pi set from the observed frequencies of the tips it
+        # governs (the reference seeds nhomo pis from per-sequence counts,
+        # src/baseml.c:1237-1247); sets with no tips start from the
+        # global observed frequencies
+        tipf = np.asarray(data.tip_partials, float)          # [ns, H, 4]
+        fw = np.asarray(data.fpatt, float)[None, :, None]
+        per_tip = (tipf / np.maximum(tipf.sum(2, keepdims=True), 1e-9)
+                   * fw).sum(1)
+        per_tip /= np.maximum(per_tip.sum(1, keepdims=True), 1e-9)
+        for k in range(n_pi):
+            members = [n for n in range(topo.ns) if pi_set[n] == k]
+            pk = per_tip[members].mean(0) if members else obs
+            enc = np.log(np.maximum(pk[:3], 1e-8) / max(pk[3], 1e-8))
+            x0 += list(enc)
         bounds += [(-19.0, 9.0)] * (3 * n_pi)
     return neg_lnl, unpack, np.array(x0), bounds
 
@@ -686,7 +698,21 @@ def fit_separate(seqfile: str, treefile: str, spec: BasemlSpec,
 def _fit_nhomo(data, topo, spec, dtype=jnp.float64):
     neg_lnl, unpack, x0, bounds = make_nhomo_objective(data, topo, spec,
                                                        dtype)
-    res = maximize(neg_lnl, x0, bounds)
+    # nonhomogeneous surfaces are multimodal (per-branch pis can trade
+    # against per-branch rates, with optima at simplex boundaries —
+    # cf. the extreme MLEs in the reference's own examples/nhomo
+    # outputs); a couple of structured extra starts guard the basin
+    nb = len(topo.branch_nodes())
+    multi = None
+    if data.npatt * nb < 20_000:       # small problems: cheap extra starts
+        multi = []
+        rng = np.random.default_rng(0)
+        for scale in (0.75, 1.5):
+            s = x0.copy()
+            s[:nb] = np.maximum(s[:nb] * scale, BLEN_MIN * 2)
+            s[nb:] += rng.normal(0, 0.4, len(s) - nb)
+            multi.append(s)
+    res = maximize(neg_lnl, x0, bounds, multi_start=multi)
     t, rates, pis = unpack(jnp.asarray(res.x))
     return BasemlResult(
         lnL=res.lnL, blens=np.asarray(t),

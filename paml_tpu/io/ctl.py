@@ -66,6 +66,39 @@ CODON_FREQ_BY_INDEX = ["Fequal", "F1x4", "F3x4", "Fcodon",
                        "F1x4MG", "F3x4MG", "FMutSel0", "FMutSel"]
 NUC_MODEL_BY_INDEX = ["JC69", "K80", "F81", "F84", "HKY85", "T92", "TN93",
                       "REV", "UNREST", "REVu", "UNRESTu"]
+
+
+def parse_step_matrix(val: str, symmetric: bool):
+    """Parse the REVu/UNRESTu constraint spec after the model number:
+    'model = 9 [2 (TA TC TG CA CG) (AG)]' -> nrate=2, step[4,4] with
+    1-based rate indices per cell, 0 for the default rate (reference:
+    GetStepMatrix, src/baseml.c:912; base order TCAG).  REVu assigns
+    pairs symmetrically; UNRESTu directionally."""
+    import numpy as np
+
+    m = re.search(r"\[\s*(\d+)(.*)", val, re.S)
+    if not m:
+        raise ValueError("REVu/UNRESTu model needs '[nrate (pairs)...]' "
+                         "after the model number")
+    nrate = int(m.group(1))
+    groups = re.findall(r"\(([^)]*)\)", m.group(2))
+    if len(groups) != nrate:
+        raise ValueError(f"expected {nrate} '(...)' rate groups, "
+                         f"got {len(groups)}")
+    code = {"T": 0, "C": 1, "A": 2, "G": 3, "U": 0}
+    step = np.zeros((4, 4), dtype=np.int64)
+    for i, grp in enumerate(groups):
+        chars = [c for c in grp.upper() if c in code]
+        if len(chars) % 2:
+            raise ValueError(f"odd base count in rate group {i + 1}")
+        for k in range(0, len(chars), 2):
+            b1, b2 = code[chars[k]], code[chars[k + 1]]
+            if b1 == b2:
+                raise ValueError("diagonal pair in StepMatrix spec")
+            step[b1, b2] = i + 1
+            if symmetric:
+                step[b2, b1] = i + 1
+    return step, nrate
 AA_MODEL_BY_INDEX = ["Poisson", "EqualInput", "Empirical", "Empirical_F",
                      "FromCodon0", "FromCodon", "FromCodon", "REVaa_0",
                      "REVaa"]
@@ -78,35 +111,48 @@ def baseml_spec(opts: dict, ctl_path: str):
     from ..apps.baseml import BasemlSpec
 
     g = lambda k, d=None: opts.get(k, d)
-    model_i = int(_first_num(g("model", "0")))
+    model_raw = str(g("model", "0"))
+    model_i = int(_first_num(model_raw))
     spec = BasemlSpec(
         model=NUC_MODEL_BY_INDEX[model_i],
         ncatG=int(_first_num(g("ncatG", "5"))),
         fix_alpha=bool(int(_first_num(g("fix_alpha", "1")))),
         alpha=float(_first_num(g("alpha", "0"))),
-        fix_kappa=bool(int(_first_num(g("fix_kappa", "0")))),
+        # fix_kappa is an int: 2 selects label-defined branch kappa sets
+        # under nhomo (reference: GetOptions, src/baseml.c:1046-1053)
+        fix_kappa=int(_first_num(g("fix_kappa", "0"))),
         kappa=float(_first_num(g("kappa", "5"))),
         Mgene=int(_first_num(g("Mgene", "0"))),
         Malpha=bool(int(_first_num(g("Malpha", "0")))),
         cleandata=bool(int(_first_num(g("cleandata", "0")))),
         getSE=bool(int(_first_num(g("getSE", "0")))),
         clock=int(_first_num(g("clock", "0"))),
+        nhomo=int(_first_num(g("nhomo", "0"))),
+        nparK=int(_first_num(g("nparK", "0"))),
+        fix_rho=bool(int(_first_num(g("fix_rho", "1")))),
+        rho=float(_first_num(g("rho", "0"))),
     )
+    if spec.model in ("REVu", "UNRESTu"):
+        step, nrate = parse_step_matrix(model_raw,
+                                        symmetric=spec.model == "REVu")
+        spec.step_matrix = step
+        spec.n_user_rates = nrate
     td = str(g("TipDate", "0")).split()
     if td and int(float(td[0])):
         spec.tipdate = True
         spec.tipdate_timeunit = float(td[1]) if len(td) > 1 else None
-    if spec.ncatG > 1 and spec.fix_alpha and spec.alpha == 0:
+    if (spec.ncatG > 1 and spec.fix_alpha and spec.alpha == 0
+            and not spec.nparK and spec.fix_rho and spec.rho == 0):
+        # alpha=0 fixed means no rate variation (reference semantics);
+        # nparK models keep ncatG as the number of free rate classes
         spec.ncatG = 1
-    elif spec.alpha > 0 or not spec.fix_alpha:
-        pass
     extras = {
         "runmode": int(_first_num(g("runmode", "0"))),
         "clock": int(_first_num(g("clock", "0"))),
         "ndata": int(_first_num(g("ndata", "1"))),
         "RateAncestor": int(_first_num(g("RateAncestor", "0"))),
         "method": int(_first_num(g("method", "0"))),
-        "nhomo": int(_first_num(g("nhomo", "0"))),
+        "nhomo": spec.nhomo,
     }
     return (spec, resolve_path(ctl_path, g("seqfile")),
             resolve_path(ctl_path, g("treefile", "")),
