@@ -75,14 +75,26 @@ _BIG = 1e30
 
 import os as _os
 
+_MM_MODES = ("bf16", "3pass", "6pass")
 _MM_MODE = _os.environ.get("PAML_TPU_MM", "3pass")
+if _MM_MODE not in _MM_MODES:       # fail fast on typos (ADVICE r3)
+    raise ValueError(f"PAML_TPU_MM={_MM_MODE!r}; expected one of "
+                     f"{_MM_MODES}")
 
 
 def set_mm_mode(mode: str) -> None:
-    """Set the Pallas-kernel matmul mode: "bf16" | "3pass" | "6pass"."""
+    """Set the Pallas-kernel matmul mode: "bf16" | "3pass" | "6pass".
+
+    The mode is baked into kernels at trace time, so call this BEFORE the
+    first jit compilation (or clear caches with jax.clear_caches());
+    changing it afterwards does not recompile already-jitted functions."""
     global _MM_MODE
-    assert mode in ("bf16", "3pass", "6pass")
+    assert mode in _MM_MODES
     _MM_MODE = mode
+    try:                    # drop stale traces so the new mode takes effect
+        jax.clear_caches()
+    except Exception:  # pragma: no cover
+        pass
 
 
 def _bf16_split(a):
@@ -211,6 +223,80 @@ def _dot(a, b, exact=False):  # [N, N] @ [N, Ht]
     return mm_dot_general(a, b, (((1,), (0,)), ((), ())), exact)
 
 
+# --- class packing -----------------------------------------------------
+# A [64, 64] x [64, Ht] matmul fills only (64/128)^2 of the 128x128 MXU.
+# Packing `gs = 128 // N` classes into one block-diagonal
+# [gs*N, gs*N] x [gs*N, Ht] matmul raises the fill to ~1 at the cost of
+# gs x physical MACs (the zero off-diagonal blocks) — net ~gs x faster
+# when MXU-bound.  The zero blocks contribute exact zeros, so results are
+# bitwise per-class-equivalent up to contraction-order of added zeros.
+
+
+def _class_group(N: int, C: int) -> int:
+    return max(1, min(128 // N, C))
+
+
+def _blockdiag(blocks):
+    K = len(blocks)
+    N = blocks[0].shape[0]
+    z = jnp.zeros((N, N), blocks[0].dtype)
+    rows = [jnp.concatenate([b if j == i else z for j in range(K)], axis=1)
+            for i, b in enumerate(blocks)]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _dot_classes(P_of, s_of, C, N, exact, dims=(((1,), (0,)), ((), ()))):
+    """stack([P_of(c) @ s_of(c) for c]) with block-diagonal class packing.
+
+    dims (((1,),(0,))...) is P @ s; (((0,),(0,))...) is P^T @ s (both are
+    block-diagonal-safe: the transpose of a block-diagonal matrix is
+    block-diagonal)."""
+    gs = _class_group(N, C)
+    if gs == 1:
+        return jnp.stack([mm_dot_general(P_of(c), s_of(c), dims, exact)
+                          for c in range(C)])
+    outs = [None] * C
+    c = 0
+    while c < C:
+        g = min(gs, C - c)
+        if g == 1:
+            outs[c] = mm_dot_general(P_of(c), s_of(c), dims, exact)
+        else:
+            P2 = _blockdiag([P_of(c + i) for i in range(g)])
+            s2 = jnp.concatenate([s_of(c + i) for i in range(g)], axis=0)
+            cv = mm_dot_general(P2, s2, dims, exact)
+            for i in range(g):
+                outs[c + i] = cv[i * N:(i + 1) * N]
+        c += g
+    return jnp.stack(outs)
+
+
+def _outer_classes(G_of, s_of, C, N, exact):
+    """stack([G_of(c) @ s_of(c)^T for c]) ([N,Ht]x[N,Ht] -> [N,N],
+    contraction over patterns) with row-stacked class packing: one
+    [g*N, Ht] x [g*N, Ht] -> [g*N, g*N] matmul whose diagonal blocks are
+    the per-class outer products."""
+    gs = _class_group(N, C)
+    dims = (((1,), (1,)), ((), ()))
+    if gs == 1:
+        return jnp.stack([mm_dot_general(G_of(c), s_of(c), dims, exact)
+                          for c in range(C)])
+    outs = [None] * C
+    c = 0
+    while c < C:
+        g = min(gs, C - c)
+        if g == 1:
+            outs[c] = mm_dot_general(G_of(c), s_of(c), dims, exact)
+        else:
+            G2 = jnp.concatenate([G_of(c + i) for i in range(g)], axis=0)
+            s2 = jnp.concatenate([s_of(c + i) for i in range(g)], axis=0)
+            full = mm_dot_general(G2, s2, dims, exact)     # [gN, gN]
+            for i in range(g):
+                outs[c + i] = full[i * N:(i + 1) * N, i * N:(i + 1) * N]
+        c += g
+    return jnp.stack(outs)
+
+
 def _upward(plan: _Plan, C, N, Ht, read_tip, P_at, cbuf, sbuf=None,
             exact=False):
     """Shared unrolled upward sweep.
@@ -241,8 +327,9 @@ def _upward(plan: _Plan, C, N, Ht, read_tip, P_at, cbuf, sbuf=None,
         if v == root:
             s_root = s
             break
-        cv = jnp.stack([_dot(P_at(v, c), s if shared else s[c], exact)
-                        for c in range(C)])
+        cv = _dot_classes(lambda cc: P_at(v, cc),
+                          (lambda cc: s) if shared else (lambda cc: s[cc]),
+                          C, N, exact)
         cbuf[plan.slot[v]] = cv
     return s_root, logm
 
@@ -307,8 +394,10 @@ def _bwd_kernel_body(plan: _Plan, C, N, Ht, state_tips, exact,
         for k in kids:
             s = sbuf[k - ns] if k >= ns else read_tip(k)
             shared = s.ndim == 2
-            c = jnp.stack([_dot(P_ref[k, cc], s if shared else s[cc],
-                                exact) for cc in range(C)])
+            c = _dot_classes(
+                lambda cc: P_ref[k, cc],
+                (lambda cc: s) if shared else (lambda cc: s[cc]),
+                C, N, exact)
             sk.append(s)
             ck.append(c)
         prod = ck[0]
@@ -329,16 +418,15 @@ def _bwd_kernel_body(plan: _Plan, C, N, Ht, state_tips, exact,
             G = jnp.clip(G, -_GRAD_CAP, _GRAD_CAP)
             G = jnp.where(jnp.isnan(G), 0.0, G)
             s = sk[k]
-            dPk = jnp.stack([
-                mm_dot_general(G[cc], s if s.ndim == 2 else s[cc],
-                               (((1,), (1,)), ((), ())), exact)
-                for cc in range(C)])                        # [C, N, N]
+            dPk = _outer_classes(
+                lambda cc: G[cc],
+                (lambda cc: s) if s.ndim == 2 else (lambda cc: s[cc]),
+                C, N, exact)                                # [C, N, N]
             dP_ref[kid] += dPk
             if kid >= ns:
-                Ak = jnp.stack([
-                    mm_dot_general(P_ref[kid, cc], G[cc],
-                                   (((0,), (0,)), ((), ())), exact)
-                    for cc in range(C)])                    # [C, N, Ht]
+                Ak = _dot_classes(
+                    lambda cc: P_ref[kid, cc], lambda cc: G[cc], C, N,
+                    exact, dims=(((0,), (0,)), ((), ())))   # [C, N, Ht]
                 abuf[plan.slot[kid]] = Ak
 
 
@@ -490,15 +578,21 @@ def _tpu_backend() -> bool:
         # non-interpret pallas_call for CPU is an error)
         dd = jax.config.jax_default_device
         if dd is not None:
-            return dd.platform in ("tpu", "axon")
+            # jax.default_device accepts a Device or a platform string
+            plat = dd if isinstance(dd, str) else dd.platform
+            return plat in ("tpu", "axon")
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
 
 
-def maybe_pallas_lnf(P, tips, topo: Topology, pi):
+def maybe_pallas_lnf(P, tips, topo: Topology, pi, in_shard: bool = False):
     """Return the pallas lnf if this problem should use the fused kernel,
-    else None (caller falls back to the einsum paths)."""
+    else None (caller falls back to the einsum paths).
+
+    in_shard: True when called from inside a shard_map body
+    (pruning._class_site_lnf_sharded) — the kernel then runs on each
+    device's local pattern shard, so the multi-device guard is skipped."""
     import os
     if not _HAVE_PALLAS or _mode == "off":
         return None
@@ -511,11 +605,13 @@ def maybe_pallas_lnf(P, tips, topo: Topology, pi):
     # einsum paths: pallas_call batching would add a grid axis per locus
     if any(type(x).__name__ == "BatchTracer" for x in (P, tips, pi)):
         return None
-    # multi-device meshes keep the einsum paths (XLA partitions those
-    # freely; partitioning a pallas custom call needs shard_map wiring);
-    # an explicit PAML_TPU_PALLAS=1 (tests) overrides
+    # multi-device processes keep the einsum paths UNLESS the caller
+    # explicitly partitioned the pattern axis with shard_map (in_shard) —
+    # XLA cannot partition a pallas custom call on its own; an explicit
+    # PAML_TPU_PALLAS=1 (tests) also overrides
     try:
-        if env != "1" and _mode != "on" and jax.device_count() > 1:
+        if (not in_shard and env != "1" and _mode != "on"
+                and jax.device_count() > 1):
             return None
     except Exception:  # pragma: no cover
         return None
@@ -535,7 +631,7 @@ def maybe_pallas_lnf(P, tips, topo: Topology, pi):
     if state_tips:
         # large trees: dynamic-schedule kernel (P/S streamed via DMA)
         from . import pallas_pruning_big
-        Htb = pallas_pruning_big.choose_tile_big(topo, C, N)
+        Htb = pallas_pruning_big.choose_tile_big(topo, C, N, n=n)
         if Htb is not None:
             return pallas_pruning_big.class_site_lnf_big(
                 P, tips, topo, pi, Htb, interpret)

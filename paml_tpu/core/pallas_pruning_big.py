@@ -44,6 +44,10 @@ except Exception:  # pragma: no cover
 _GRAD_CAP = 1e12
 _BIG = 1e30
 _MAX_SLOTS = 40            # fall back to einsum paths beyond this depth
+_NJ = 64                   # parent-state (matmul row) sublane padding;
+#                            shared by choose_tile_big's VMEM budget and
+#                            _grids' actual allocation (state spaces with
+#                            n > _NJ must use the einsum paths)
 
 
 # ---------------------------------------------------------------------------
@@ -87,8 +91,13 @@ def _sched_arrays(topo: Topology):
     return out
 
 
-def choose_tile_big(topo: Topology, C: int, N: int = 128) -> int | None:
+def choose_tile_big(topo: Topology, C: int, N: int = 128,
+                    n: int | None = None) -> int | None:
     if not _HAVE_PALLAS:
+        return None
+    if n is not None and n > _NJ:
+        # state spaces wider than the NJ sublane padding cannot use this
+        # kernel (the _grids pad would be negative); einsum path instead
         return None
     N = 128        # HBM DMA slices must be 128-aligned in the minor dim
     plan = _plan(topo)
@@ -100,7 +109,7 @@ def choose_tile_big(topo: Topology, C: int, N: int = 128) -> int | None:
         slot_b = (plan.nslots + 2) * C * N * Ht * 4     # cbuf / abuf
         stage_b = 2 * C * N * Ht * 4                    # fwd s-ring
         bstage_b = 2 * (Kmax + 1) * C * N * Ht * 4      # bwd S prefetch
-        p_b = 2 * max(1, Kmax) * C * (N // 2) * N * 4   # P rings (NJ rows)
+        p_b = 2 * max(1, Kmax) * C * _NJ * N * 4        # P rings (NJ rows)
         tips_b = 2 * ns * Ht * 4
         io_b = 4 * C * Ht * 4
         if slot_b + max(stage_b, bstage_b) + p_b + tips_b + io_b \
@@ -390,7 +399,7 @@ def _grids(topo, P, tips, pi, Ht):
     # parent-state (matmul output row) axis only needs a sublane multiple
     # — NJ = 64 halves both the MXU passes and the P/dP HBM traffic
     N = 128
-    NJ = 64
+    NJ = _NJ
     C = P.shape[1]
     H = tips.shape[1]
     Hp = _round_up(H, Ht)

@@ -142,6 +142,11 @@ def _pmat_rev_unif(Q: jnp.ndarray, pi: jnp.ndarray, t: jnp.ndarray):
     # a line-search trial wanders to an extreme branch length
     s_b = jnp.ceil(jnp.log2(jnp.maximum(a / _UNIF_AMAX, 1.0)))
     s_b = jnp.minimum(s_b, float(_UNIF_NSQ))
+    # clamp note (ADVICE r3): for q*t > AMAX * 2^NSQ the effective a0
+    # saturates at 2*AMAX where the K-term Poisson tail is ~1e-4 (vs
+    # ~3e-10 at AMAX) and d(a0)/dt is zero — harmless because P(t) is
+    # then at stationarity to that same accuracy, but not the headline
+    # tolerance; bump _UNIF_NSQ/_UNIF_K if such branch lengths matter
     a0 = jnp.minimum(a / (2.0 ** s_b), 2.0 * _UNIF_AMAX)  # >AMAX iff clamped
     # Poisson weights by the recurrence w_k = w_{k-1} * a0 / k (the
     # log-space form has a 0 * log(0) NaN in its tangent at t = 0)

@@ -578,6 +578,37 @@ _class_site_lnf_scan.defvjp(_lnf_scan_fwd, _lnf_scan_bwd)
 # ---------------------------------------------------------------------------
 
 
+# Optional mesh for explicit pattern-axis partitioning.  When set (via
+# set_pattern_mesh), class_site_lnf shard_maps the whole per-pattern
+# computation over the mesh: P/pi replicated, tips split on the pattern
+# axis, output split on the pattern axis.  This is what lets the Pallas
+# kernels run on multi-device meshes — XLA cannot partition a pallas
+# custom call on its own, but inside shard_map each device runs the
+# kernel on its local shard (SURVEY.md section 2.3: DP over patterns).
+_pattern_mesh = None
+
+
+def set_pattern_mesh(mesh, axis: str = "data") -> None:
+    """Enable (mesh, axis) shard_map execution of class_site_lnf; pass
+    mesh=None to disable.  The pattern axis length must be a multiple of
+    the mesh size (see parallel.sharding.pad_patterns)."""
+    global _pattern_mesh
+    _pattern_mesh = None if mesh is None else (mesh, axis)
+
+
+def _class_site_lnf_sharded(P, tips, topo: Topology, pi):
+    from jax.sharding import PartitionSpec as PS
+
+    mesh, ax = _pattern_mesh
+    tips_spec = PS(None, ax) if _is_state_tips(tips) else PS(None, ax, None)
+    f = jax.shard_map(
+        lambda P_, t_, pi_: _class_site_lnf_local(P_, t_, topo, pi_,
+                                                  in_shard=True),
+        mesh=mesh, in_specs=(PS(), tips_spec, PS()),
+        out_specs=PS(None, ax), check_vma=False)
+    return f(P, tips, pi)
+
+
 def class_site_lnf(P, tips, topo: Topology, pi):
     """Per-(class, pattern) log site likelihood [C, H].
 
@@ -588,10 +619,24 @@ def class_site_lnf(P, tips, topo: Topology, pi):
 
     On TPU, codon/aa-sized problems that fit VMEM dispatch to the fused
     Pallas kernel (pallas_pruning.py); everything else uses the batched
-    einsum paths below.
+    einsum paths below.  Under set_pattern_mesh, the whole computation is
+    shard_mapped over the pattern axis so the fused kernel also runs on
+    multi-device meshes.
     """
+    if _pattern_mesh is not None:
+        mesh, _ = _pattern_mesh
+        nsh = int(np.prod(mesh.devices.shape))
+        batched = any(type(x).__name__ == "BatchTracer"
+                      for x in (P, tips, pi))
+        if (not batched and tips.shape[1] % nsh == 0):
+            return _class_site_lnf_sharded(P, tips, topo, pi)
+    return _class_site_lnf_local(P, tips, topo, pi)
+
+
+def _class_site_lnf_local(P, tips, topo: Topology, pi, in_shard=False):
     from . import pallas_pruning
-    out = pallas_pruning.maybe_pallas_lnf(P, tips, topo, pi)
+    out = pallas_pruning.maybe_pallas_lnf(P, tips, topo, pi,
+                                          in_shard=in_shard)
     if out is not None:
         return out
     if len(_levels(topo)) <= _MAX_UNROLL:

@@ -95,3 +95,107 @@ def test_baseml_lnl_sharded_equals_replicated():
     with mesh:
         v_shard = float(jax.jit(neg_lnl.with_data)(xs, tips_s, fpatt_s))
     assert abs(v_shard - v_rep) <= 1e-6 * max(1.0, abs(v_rep))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels under shard_map (pattern axis partitioned over the mesh)
+# ---------------------------------------------------------------------------
+
+
+def _random_codon_problem(ns=9, H=256, C=3, n=61, seed=0):
+    rng = np.random.default_rng(seed)
+    names = [f"t{i}" for i in range(ns)]
+
+    def bal(lo, hi):
+        if hi - lo == 1:
+            return names[lo]
+        m = (lo + hi) // 2
+        return f"({bal(lo, m)},{bal(m, hi)})"
+    mid1, mid2 = ns // 3, 2 * ns // 3
+    nwk = f"({bal(0, mid1)},{bal(mid1, mid2)},{bal(mid2, ns)});"
+    topo = from_treenode(treeio.parse_newick(nwk), names)
+    P = rng.gamma(1.0, 1.0, size=(topo.nnode, C, n, n)).astype(np.float32)
+    P = P / P.sum(axis=-1, keepdims=True)
+    P = 0.7 * np.eye(n, dtype=np.float32)[None, None] + 0.3 * P
+    pi = rng.dirichlet(np.ones(n), size=C).astype(np.float32)
+    tips = rng.integers(0, n, size=(ns, H)).astype(np.int32)
+    return jnp.asarray(P), jnp.asarray(tips), topo, jnp.asarray(pi)
+
+
+def test_pallas_kernel_under_shard_map(monkeypatch):
+    """The fused Pallas kernel (interpret mode on CPU) must run on each
+    device's pattern shard under shard_map and agree with the replicated
+    einsum value — the production multi-device fast path (VERDICT r3
+    item 3: remove the device_count>1 mutual exclusion)."""
+    from paml_tpu.core import pallas_pruning, pruning
+
+    monkeypatch.setenv("PAML_TPU_PALLAS", "1")
+    P, tips, topo, pi = _random_codon_problem(seed=11)
+    ref = np.asarray(pruning._class_site_lnf_lvl(P, tips, topo, pi))
+    mesh = _mesh()
+    pruning.set_pattern_mesh(mesh)
+    try:
+        got = np.asarray(pruning.class_site_lnf(P, tips, topo, pi))
+    finally:
+        pruning.set_pattern_mesh(None)
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-6)
+
+
+def test_pallas_grad_under_shard_map(monkeypatch):
+    from paml_tpu.core import pruning
+
+    monkeypatch.setenv("PAML_TPU_PALLAS", "1")
+    P, tips, topo, pi = _random_codon_problem(ns=7, H=128, C=2, seed=12)
+    w = jnp.asarray(np.random.default_rng(3).uniform(0.5, 2.0, size=128),
+                    jnp.float32)
+
+    def obj(P_, pi_):
+        return jnp.sum(w * jnp.sum(
+            pruning.class_site_lnf(P_, tips, topo, pi_), axis=0))
+
+    vr, (gPr, gpir) = jax.value_and_grad(
+        lambda P_, pi_: jnp.sum(w * jnp.sum(
+            pruning._class_site_lnf_lvl(P_, tips, topo, pi_), axis=0)),
+        argnums=(0, 1))(P, pi)
+    mesh = _mesh()
+    pruning.set_pattern_mesh(mesh)
+    try:
+        vp, (gPp, gpip) = jax.value_and_grad(obj, argnums=(0, 1))(P, pi)
+    finally:
+        pruning.set_pattern_mesh(None)
+    np.testing.assert_allclose(float(vp), float(vr), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gPp), np.asarray(gPr),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gpip), np.asarray(gpir),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_codon_objective_sharded_pallas_end_to_end(monkeypatch):
+    """Full codeml M0 objective value+grad with the pattern mesh set and
+    the Pallas fast path forced: sharded == replicated (f32 kernels, so
+    compare at f32-appropriate tolerance)."""
+    from paml_tpu.core import pruning
+
+    aln = seqio.read_alignment(ABG[0], 1)
+    data = seqio.pack(aln, cleandata=True, icode=0)
+    topo = from_treenode(treeio.read_trees(ABG[1], data.names)[0],
+                         data.names)
+    spec = codeml_app.CodemlSpec(cleandata=True)
+    neg_lnl, *_rest = codeml_app.make_codon_objective(data, topo, spec)
+    x = jnp.asarray(_rest[2])
+    v_rep = float(jax.jit(neg_lnl)(x))
+    g_rep = np.asarray(jax.jit(jax.grad(neg_lnl))(x))
+
+    mesh = _mesh()
+    tips_s, fpatt_s = shard_data(mesh, data.tip_partials, data.fpatt)
+    xs = replicate(mesh, x)
+    pruning.set_pattern_mesh(mesh)
+    try:
+        with mesh:
+            v_sh = float(jax.jit(neg_lnl.with_data)(xs, tips_s, fpatt_s))
+            g_sh = np.asarray(jax.jit(jax.grad(
+                lambda p: neg_lnl.with_data(p, tips_s, fpatt_s)))(xs))
+    finally:
+        pruning.set_pattern_mesh(None)
+    assert abs(v_sh - v_rep) <= 1e-6 * max(1.0, abs(v_rep))
+    np.testing.assert_allclose(g_sh, g_rep, rtol=1e-6, atol=1e-6)
