@@ -66,12 +66,14 @@ def _ln_calibration_density(t, kind, p):
         return (math.log(2 / scale) - 0.5 * z * z - 0.5 * math.log(2 * math.pi)
                 + _ln_norm_cdf(shape * z))
     if kind == "ST":
+        # skew-t density (Azzalini): 2/w * t_v(z) * T_{v+1}(shape * z *
+        # sqrt((v+1)/(v+z^2))) — native (reference: PDFSkewT,
+        # src/tools.c:3114; CDFt via the incomplete beta function)
         loc, scale, shape, df = p[:4]
-        from scipy.stats import t as tdist
         z = (t - loc) / scale
-        pdf = (2 / scale * tdist.pdf(z, df)
-               * tdist.cdf(shape * z * math.sqrt((df + 1) / (df + z * z)),
-                           df + 1))
+        pdf = (2 / scale * _t_pdf(z, df)
+               * _t_cdf(shape * z * math.sqrt((df + 1) / (df + z * z)),
+                        df + 1))
         return math.log(max(pdf, 1e-300))
     if kind == "S2N":
         # mixture of two skew normals (reference: lnptCalibrationDensity
@@ -86,6 +88,69 @@ def _ln_calibration_density(t, kind, p):
         pdf = p0 * _sn(t, loc1, s1, sh1) + (1 - p0) * _sn(t, loc2, s2, sh2)
         return math.log(max(pdf, 1e-300))
     raise ValueError(f"calibration kind {kind}")
+
+
+def _betacf(a, b, x, maxit=200, eps=3e-12):
+    """Continued fraction for the incomplete beta (Lentz), host scalars."""
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < 1e-30:
+        d = 1e-30
+    d = 1.0 / d
+    h = d
+    for m in range(1, maxit + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < 1e-30:
+            d = 1e-30
+        c = 1.0 + aa / c
+        if abs(c) < 1e-30:
+            c = 1e-30
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < 1e-30:
+            d = 1e-30
+        c = 1.0 + aa / c
+        if abs(c) < 1e-30:
+            c = 1e-30
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h
+
+
+def _betainc_host(a, b, x):
+    """Regularized incomplete beta I_x(a, b), host scalars (reference:
+    IncompleteBeta / CDFBeta, src/tools.c:2680-2778)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    lbeta = (math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b))
+    front = math.exp(a * math.log(x) + b * math.log(1.0 - x) - lbeta)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def _t_pdf(x, df):
+    """Student-t density, host scalars."""
+    return math.exp(math.lgamma((df + 1) / 2.0) - math.lgamma(df / 2.0)
+                    - 0.5 * math.log(df * math.pi)
+                    - 0.5 * (df + 1) * math.log1p(x * x / df))
+
+
+def _t_cdf(x, df):
+    """Student-t CDF via the incomplete beta (reference: CDFt,
+    src/tools.c:3101)."""
+    p = 0.5 * _betainc_host(df / 2.0, 0.5, df / (df + x * x))
+    return 1.0 - p if x > 0 else p
 
 
 def _norm_cdf(x):

@@ -125,3 +125,27 @@ seed = 7
     for k, r in ref.items():
         assert abs(summ[k]["mean"] - r) < tol[k], \
             f"{k}: {summ[k]['mean']} vs reference {r}"
+
+
+def test_native_skew_t_matches_scipy():
+    """Native skew-t (t pdf + incomplete-beta t cdf) vs the scipy
+    composition (reference: PDFSkewT src/tools.c:3114, CDFt :3101)."""
+    import numpy as np
+    from scipy.stats import t as tdist
+
+    rng = np.random.default_rng(4)
+    for _ in range(50):
+        x, df = float(rng.normal(0, 3)), float(rng.uniform(1.5, 40))
+        assert abs(M._t_pdf(x, df) - tdist.pdf(x, df)) < 1e-12
+        assert abs(M._t_cdf(x, df) - tdist.cdf(x, df)) < 1e-11
+    for _ in range(30):
+        t0 = float(rng.uniform(0.01, 8))
+        loc, sc = 1.0, float(rng.uniform(0.2, 2))
+        sh, df = float(rng.uniform(-5, 5)), float(rng.uniform(2, 30))
+        z = (t0 - loc) / sc
+        want = (2 / sc * tdist.pdf(z, df)
+                * tdist.cdf(sh * z * math.sqrt((df + 1) / (df + z * z)),
+                            df + 1))
+        got = math.exp(M._ln_calibration_density(
+            t0, "ST", [loc, sc, sh, df]))
+        assert abs(got - want) <= 1e-10 * max(1.0, want)
