@@ -328,11 +328,98 @@ def simulate_aa(datfile: str, out="mc.paml", seed=None):
     return out, nrepl
 
 
+def clade_support_cli(treefile: str, maintreefile: str | None = None,
+                      pick1tree: int = 1) -> dict:
+    """Support of the main tree's clades among a tree sample, written as
+    a support-labeled tree to evolver.out (reference: CladeSupport,
+    src/treesub.c:4275).  With no maintreefile, the first sample tree is
+    the main tree."""
+    from ..core.topology import from_treenode
+    from ..io import treeio
+    from .bootstrap import clade_support
+
+    sample = treeio.read_tree_sample(treefile)
+    if not sample:
+        raise ValueError(f"no trees in {treefile}")
+    if maintreefile:
+        mains = treeio.read_tree_sample(maintreefile)
+        main = mains[min(max(pick1tree, 1), len(mains)) - 1]
+    else:
+        main = sample[0]
+    names = sorted(n.name for n in main.walk_post() if n.is_tip)
+    main_topo = from_treenode(main, names)
+    topos = [from_treenode(t, names) for t in sample]
+    support = clade_support(main_topo, topos)
+
+    # annotate internal nodes of the main tree with their support
+    def tipset(node):
+        return frozenset(names.index(t.name) for t in node.walk_post()
+                         if t.is_tip)
+    allset = frozenset(range(len(names)))
+    by_part = {}
+    for part, s in support.items():
+        by_part[part] = s
+    for node in main.walk_post():
+        if node.is_tip or node is main:
+            continue
+        ts = tipset(node)
+        part = min(ts, allset - ts, key=lambda x: (len(x), sorted(x)))
+        if part in by_part:
+            node.name = f"{100 * by_part[part]:.1f}"
+    with open("evolver.out", "w") as f:
+        f.write(treeio.write_newick(main, branch_lengths=False) + "\n")
+    for part, s in sorted(support.items(), key=lambda kv: -kv[1]):
+        tipnames = " ".join(names[i] for i in sorted(part))
+        print(f"{100 * s:6.1f}%  ({tipnames})")
+    print(f"support-labeled main tree -> evolver.out "
+          f"({len(sample)} sample trees)")
+    return support
+
+
+def label_clades_cli(treefile: str, keys: list[str]) -> None:
+    """For each key, select tips whose names contain it and label their
+    clade '#i' when monophyletic in the (unrooted) tree — checking the
+    complement set too, as the reference does (LabelClades,
+    src/evolver.c:271-341)."""
+    from ..io import treeio
+
+    trees = treeio.read_tree_sample(treefile)
+    tree = trees[0]
+    tips = [n for n in tree.walk_post() if n.is_tip]
+    names = [n.name for n in tips]
+    ns = len(names)
+    for ic, key in enumerate(keys):
+        chosen = frozenset(i for i, nm in enumerate(names) if key in nm)
+        if not chosen:
+            print(f"key {key!r}: no matching sequences")
+            continue
+        found = None
+        for node in tree.walk_post():
+            if node is tree:
+                continue
+            ts = frozenset(names.index(t.name) for t in node.walk_post()
+                           if t.is_tip)
+            if ts == chosen or ts == frozenset(range(ns)) - chosen:
+                found = node
+                break
+        if found is None:
+            print(f"key {key!r}: {len(chosen)} seqs are NOT a clade "
+                  f"(paraphyletic)")
+            continue
+        found.label = ic + 1
+        print(f"key {key!r}: clade of {len(chosen)} seqs labeled "
+              f"#{ic + 1}")
+    with open("evolver.out", "w") as f:
+        f.write(treeio.write_newick(tree, branch_lengths=False,
+                                    labels=True) + "\n")
+    print("labeled tree -> evolver.out")
+
+
 def main(argv):
     """Modes mirror the reference evolver menu (src/evolver.c:159-168):
     1/2 random unrooted/rooted trees, 3/4 list all unrooted/rooted trees,
     5/6/7 simulate nuc/codon/aa data, 8 partition distances between
-    trees."""
+    trees, 9 clade support from a tree sample, 11 label clades."""
     if len(argv) < 2:
         print(__doc__)
         sys.exit(2)
@@ -380,6 +467,20 @@ def main(argv):
         print("pairwise (shared partitions, partition distance):")
         for i in range(n):
             print(" ".join(f"{sh[i, j]}/{rf[i, j]}" for j in range(n)))
+        return
+    if mode == "9":
+        # clade support values from a tree sample onto a main tree
+        # (reference: `evolver 9 treefile maintreefile <pick1tree>`,
+        # src/evolver.c:130-134 -> CladeSupport src/treesub.c:4275).
+        # The sample file may be newick-per-line or MrBayes NEXUS .t
+        clade_support_cli(argv[1], argv[2] if len(argv) > 2 else None,
+                          int(argv[3]) if len(argv) > 3 else 1)
+        return
+    if mode == "11":
+        # label clades selected by name substrings (reference:
+        # LabelClades, src/evolver.c:271; keys passed as CLI args
+        # instead of the reference's interactive prompts)
+        label_clades_cli(argv[1], argv[2:])
         return
     datfile = argv[1]
     out = argv[2] if len(argv) > 2 else "mc.paml"

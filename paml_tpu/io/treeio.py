@@ -329,6 +329,35 @@ def prune_to(root: TreeNode, keep_names) -> TreeNode:
     return out
 
 
+def read_tree_sample(path: str) -> list[TreeNode]:
+    """Parsed trees from a tree-sample file: plain newick-per-line, a
+    PAML 'ns ntree' header file, or NEXUS with a translate table
+    (MrBayes .t output).  Used by the clade-support workflow (reference:
+    CladeSupport, src/treesub.c:4275, driven from evolver option 9)."""
+    import re as _re
+
+    text = open(path).read()
+    trees = []
+    if _re.search(r"#\s*NEXUS", text, _re.I):
+        tr = {}
+        m = _re.search(r"\btranslate\b(.*?);", text, _re.I | _re.S)
+        if m:
+            for ent in m.group(1).split(","):
+                toks = ent.split()
+                if len(toks) >= 2:
+                    tr[toks[0]] = toks[1].strip().strip("'\"")
+        for tm in _re.finditer(r"\btree\b[^=]*=\s*(?:\[[^\]]*\]\s*)*"
+                               r"(\([^;]*\)[^;]*;)", text, _re.I | _re.S):
+            t = parse_newick(tm.group(1))
+            if tr:
+                for node in t.walk_post():
+                    if node.is_tip and node.name in tr:
+                        node.name = tr[node.name]
+            trees.append(t)
+        return trees
+    return [parse_newick(s) for s in read_tree_strings(path)]
+
+
 def read_tree_strings(path: str) -> list[str]:
     """Raw newick strings from a tree file (ignoring 'ns ntree' headers and
     comments) — used by ndata separate_trees where each block may use a

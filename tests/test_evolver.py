@@ -87,3 +87,50 @@ def test_aa_simulate_refit(tmp_path):
                      codeml.CodemlSpec(seqtype=2, aa_model="Poisson"))
     total = res.blens.sum()
     assert abs(total - 1.12) < 0.08, f"tree length {total} vs 1.12"
+
+
+def test_clade_support_from_sample(tmp_path, monkeypatch):
+    """evolver mode 9 (reference: CladeSupport src/treesub.c:4275 via
+    evolver option 9): hand-checked support values, incl. MrBayes NEXUS
+    translate-table input."""
+    from paml_tpu.apps.evolver import clade_support_cli
+
+    (tmp_path / "sample.trees").write_text(
+        "((A,B),(C,D),E);\n((A,B),(C,E),D);\n"
+        "((A,B),C,(D,E));\n((A,C),(B,D),E);\n")
+    (tmp_path / "main.tree").write_text("((A,B),(C,D),E);\n")
+    monkeypatch.chdir(tmp_path)
+    sup = clade_support_cli(str(tmp_path / "sample.trees"),
+                            str(tmp_path / "main.tree"))
+    vals = sorted(sup.values())
+    assert vals == [0.25, 0.75]
+    out = (tmp_path / "evolver.out").read_text()
+    assert "75.0" in out and "25.0" in out
+
+    (tmp_path / "mb.t").write_text(
+        "#NEXUS\nbegin trees;\n  translate\n    1 A,\n    2 B,\n"
+        "    3 C,\n    4 D,\n    5 E;\n"
+        "  tree gen.1 = [&U] ((1,2),(3,4),5);\n"
+        "  tree gen.2 = [&U] ((1,2),3,(4,5));\nend;\n")
+    sup2 = clade_support_cli(str(tmp_path / "mb.t"),
+                             str(tmp_path / "main.tree"))
+    assert sorted(sup2.values()) == [0.5, 1.0]
+
+
+def test_label_clades(tmp_path, monkeypatch):
+    """evolver mode 11 (reference: LabelClades src/evolver.c:271):
+    monophyletic name-substring groups get '#i' labels; paraphyletic
+    groups are reported, not labeled."""
+    from paml_tpu.apps.evolver import label_clades_cli
+
+    (tmp_path / "t.tree").write_text(
+        "((HumanX1,HumanX2),(ChimpY1,ChimpY2),Gorilla);\n")
+    monkeypatch.chdir(tmp_path)
+    label_clades_cli(str(tmp_path / "t.tree"),
+                     ["HumanX", "ChimpY", "Gorilla"])
+    out = (tmp_path / "evolver.out").read_text()
+    assert "#1" in out and "#2" in out and "#3" in out
+    # paraphyletic selection: no label emitted
+    (tmp_path / "t2.tree").write_text("((A1,B1),(A2,B2),C);\n")
+    label_clades_cli(str(tmp_path / "t2.tree"), ["A"])
+    assert "#1" not in (tmp_path / "evolver.out").read_text()
