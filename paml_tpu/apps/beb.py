@@ -231,6 +231,125 @@ def beb(data: seqio.PackedData, topo: Topology, spec, res, n1d: int = 10,
                           p_pos)
 
 
+def beb_branchsite_A(data: seqio.PackedData, topo: Topology, spec, res,
+                     n1d: int = 10, dtype=jnp.float64):
+    """BEB for branch-site model A (reference: lfunNSsites_ACD,
+    src/codeml.c:6827; grid/prior setup get_grid_para_like_ACD :6629 and
+    get_pclassM_iw_ACD :6767).
+
+    Integral dimension 4 (p0, p1 on the ternary graph; w0 ~ U(0,1);
+    w2 ~ U(1,11)), each on n1d bins.  f(x_h|w) is computed for the
+    121 = n1d + 1 + n1d^2 + n1d (wback, wfore) sets under the branch
+    model with branch lengths, kappa and the per-branch-type Qfactor
+    frozen at the MLE (the reference's BayesEB = 2 scale rule).
+
+    Returns dict with postSite [4, H] (classes 0, 1, 2a, 2b), pos_prob
+    [H] (= P(class 2a or 2b | x_h), the 'Prob(w>1)' of the output),
+    post_w0/post_w2 grid marginals and post_p0p1."""
+    from ..core.pmat import pmat_rev_multi
+
+    graph = codonmod.codon_graph(spec.icode)
+    fcodon, f3x4, f1x4 = codonmod.count_codon_freqs(
+        data.tip_partials, data.fpatt, graph, data.pos_masks)
+    pi_np = codonmod.codon_pi(spec.codonf, fcodon, f3x4, f1x4, graph)
+    pf3x4 = codonmod.mg_pf3x4(spec.codonf, f3x4, f1x4)
+    pi = jnp.asarray(pi_np, dtype)
+    tips = jnp.asarray(data.tip_partials, dtype)
+    branch_nodes = topo.branch_nodes()
+    nb = len(branch_nodes)
+    x_mle = res.x
+    t = jnp.asarray(x_mle[:nb], dtype)
+    nkappa = 0 if spec.fix_kappa else (5 if spec.hkyREV else 1)
+    kappa = (jnp.asarray(x_mle[nb:nb + nkappa], dtype) if nkappa
+             else jnp.asarray([spec.kappa], dtype))
+    s = codonmod.mutation_part(graph, kappa if spec.hkyREV else kappa[0],
+                               pf3x4, spec.hkyREV, dtype)
+    rs, ra = codonmod.flux(graph, s, pi)
+
+    # per-branch-type Qfactor frozen at the MLE mixture
+    W, freqs = res.params["W"], res.params["freqs"]      # [2, 4], [4]
+    wbar = (W * freqs[None, :]).sum(1)                   # [2]
+    qf = 1.0 / (float(rs) + float(ra) * wbar)            # [2]
+    btype = topo.labels.astype(np.int64)
+    qf_node = jnp.asarray(qf[np.clip(btype, 0, 1)], dtype)   # [nnode]
+
+    # 21 distinct omegas: w0 bins (0..9), w1=1 (10), w2 bins (11..20)
+    w0g = (np.arange(n1d) + 0.5) / n1d
+    w2g = 1.0 + (np.arange(n1d) + 0.5) * 10.0 / n1d
+    vals = np.concatenate([w0g, [1.0], w2g])             # [21]
+    Qs = jax.vmap(lambda w: codonmod.build_Q(graph, s, w, pi))(
+        jnp.asarray(vals, dtype))
+    tfull = jnp.zeros((topo.nnode,), dtype).at[
+        jnp.asarray(branch_nodes)].set(t)
+    ts = (tfull * qf_node)[:, None]
+    ts = jnp.broadcast_to(ts, (topo.nnode, len(vals)))
+    P_all = pmat_rev_multi(Qs, pi, ts)                   # [nnode, 21, n, n]
+
+    # 121 (wback, wfore) sets (order of the reference's fhK table)
+    back_idx = np.concatenate([
+        np.arange(n1d), [n1d],
+        np.repeat(np.arange(n1d), n1d),                  # class 2a: w0_i
+        np.full(n1d, n1d)])                              # class 2b: w1=1
+    fore_idx = np.concatenate([
+        np.arange(n1d), [n1d],
+        n1d + 1 + np.tile(np.arange(n1d), n1d),          # class 2a: w2_j
+        n1d + 1 + np.arange(n1d)])                       # class 2b: w2_j
+    nsets = len(back_idx)                                # 121
+    Pb = jnp.take(P_all, jnp.asarray(back_idx), axis=1)  # [nnode, 121, ...]
+    Pf = jnp.take(P_all, jnp.asarray(fore_idx), axis=1)
+    mask = jnp.asarray((btype >= 1))[:, None, None, None]
+    P_sets = jnp.where(mask, Pf, Pb)
+    piC = jnp.broadcast_to(pi, (nsets, graph.n))
+    lnf = np.asarray(pruning.class_site_lnf(P_sets, tips, topo, piC))
+    H = lnf.shape[1]
+    mx = lnf.max(0)
+    fhK = np.exp(lnf - mx[None, :])                      # [121, H]
+    fpatt = np.asarray(data.fpatt, float)
+
+    # grid: (ternary p0p1 [n1d^2], w0 [n1d], w2 [n1d]) -> ngrid = n1d^4
+    p0t, p1t = _ternary_grid(n1d)
+    G_t, G_w0, G_w2 = np.meshgrid(np.arange(n1d * n1d), np.arange(n1d),
+                                  np.arange(n1d), indexing="ij")
+    G_t, G_w0, G_w2 = G_t.ravel(), G_w0.ravel(), G_w2.ravel()
+    p0, p1 = p0t[G_t], p1t[G_t]
+    p2 = 1.0 - p0 - p1
+    t01 = p0 + p1
+    pclassM = np.stack([p0, p1, p2 * p0 / t01, p2 * p1 / t01],
+                       axis=1)                           # [ngrid, 4]
+    iw = np.stack([G_w0,
+                   np.full_like(G_w0, n1d),
+                   n1d + 1 + G_w0 * n1d + G_w2,
+                   n1d + 1 + n1d * n1d + G_w2], axis=1)  # [ngrid, 4]
+    ngrid = len(G_t)
+
+    # marginal log f(X | grid) and posteriors, chunked over the grid
+    lnfXs = np.empty(ngrid)
+    chunk = max(1, 4_000_000 // max(H, 1))
+    for g0 in range(0, ngrid, chunk):
+        sl = slice(g0, min(g0 + chunk, ngrid))
+        F = np.einsum("gk,gkh->gh", pclassM[sl], fhK[iw[sl]])
+        lnfXs[sl] = np.log(np.maximum(F, 1e-300)) @ fpatt
+    mxg = lnfXs.max()
+    Wg = np.exp(lnfXs - mxg)
+    fX = Wg.sum()
+    Wg /= fX
+    postSite = np.zeros((4, H))
+    for g0 in range(0, ngrid, chunk):
+        sl = slice(g0, min(g0 + chunk, ngrid))
+        fhk_sel = fhK[iw[sl]]                            # [g, 4, H]
+        F = np.einsum("gk,gkh->gh", pclassM[sl], fhk_sel)
+        ratio = (pclassM[sl][:, :, None] * fhk_sel
+                 / np.maximum(F, 1e-300)[:, None, :])
+        postSite += np.einsum("g,gkh->kh", Wg[sl], ratio)
+    post_w0 = np.bincount(G_w0, weights=Wg, minlength=n1d)
+    post_w2 = np.bincount(G_w2, weights=Wg, minlength=n1d)
+    post_p0p1 = np.bincount(G_t, weights=Wg, minlength=n1d * n1d)
+    return dict(postSite=postSite, pos_prob=postSite[2] + postSite[3],
+                w0_grid=w0g, w2_grid=w2g, post_w0=post_w0,
+                post_w2=post_w2, post_p0p1=post_p0p1,
+                lnfX=float(np.log(fX) + mxg))
+
+
 def positive_sites(data: seqio.PackedData, sp: SitePosteriors,
                    cutoff: float = 0.5):
     """(site_index_1based, P(w>1), mean_w) for sites above cutoff, using the

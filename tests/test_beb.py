@@ -64,3 +64,34 @@ def test_neb_m2a_consistency():
     # NEB should agree with BEB on the strongest site
     h = data.site_pattern[27]
     assert sp.p_positive[h] > 0.95
+
+
+@pytest.mark.slow
+def test_beb_branchsite_A_vs_reference():
+    """Branch-site model A BEB (reference: lfunNSsites_ACD,
+    src/codeml.c:6827) on lysozymeSmall tree 2: 4-class posteriors match
+    a fresh reference run digit-for-digit (first 4 sites shown in the
+    reference rst: 0.21596 0.09912 0.45863 0.22629 / ...)."""
+    from paml_tpu.apps import beb as bebmod
+    from paml_tpu.apps import codeml
+    from paml_tpu.core.topology import from_treenode
+    from paml_tpu.io import seqio, treeio
+
+    LYS = (ref_path("examples", "lysozyme", "lysozymeSmall.txt"),
+           ref_path("examples", "lysozyme", "lysozymeSmall.trees"))
+    spec = codeml.CodemlSpec(cleandata=True, model=2, NSsites=2, omega=1.5)
+    res = codeml.fit(*LYS, spec, tree_index=1)
+    np.testing.assert_allclose(res.lnL, -894.284097, atol=2e-4)
+    aln = seqio.read_alignment(LYS[0], 1)
+    data = seqio.pack(aln, cleandata=True, icode=0)
+    topo = from_treenode(treeio.read_trees(LYS[1], data.names)[1],
+                         data.names)
+    acd = bebmod.beb_branchsite_A(data, topo, spec, res)
+    post = acd["postSite"]
+    ref = np.array([[0.21596, 0.09912, 0.45863, 0.22629],
+                    [0.07441, 0.22415, 0.16004, 0.54140],
+                    [0.20228, 0.10534, 0.44422, 0.24817],
+                    [0.22748, 0.09407, 0.46938, 0.20907]])
+    got = np.stack([post[:, data.site_pattern[s]] for s in range(4)])
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+    assert acd["pos_prob"].shape == (data.npatt,)
