@@ -99,6 +99,164 @@ def _big_branchsite_problem():
     return neg_lnl, np.asarray(x0, np.float32), states, fpatt
 
 
+def _parity_configs():
+    """Golden example configs for the on-chip parity pass: (name,
+    builder) where builder() -> (neg_lnl_f32, neg_lnl_f64, x0, golden_lnL).
+    The f64 CPU fit supplies x-hat; the f32 objective is evaluated at
+    x-hat on the real TPU and on CPU."""
+    REF = "/root/reference/examples"
+
+    def codon(seqfile, treefile, golden, **kw):
+        def build():
+            import jax.numpy as jnp
+
+            from paml_tpu.apps.codeml import (CodemlSpec, fit_packed,
+                                              make_codon_objective)
+            from paml_tpu.core.topology import from_treenode
+            from paml_tpu.io import seqio, treeio
+            aln = seqio.read_alignment(f"{REF}/{seqfile}", 1)
+            data = seqio.pack(aln, cleandata=True, icode=0)
+            topo = from_treenode(
+                treeio.read_trees(f"{REF}/{treefile}", data.names)[0],
+                data.names)
+            spec = CodemlSpec(cleandata=True, **kw)
+            res = fit_packed(data, topo, spec)
+            neg64, *_ = make_codon_objective(data, topo, spec,
+                                             dtype=jnp.float64)
+            neg32, *_ = make_codon_objective(data, topo, spec,
+                                             dtype=jnp.float32)
+            return neg32, neg64, np.asarray(res.x), golden
+        return build
+
+    def nuc(seqfile, treefile, golden, **kw):
+        def build():
+            import jax.numpy as jnp
+
+            from paml_tpu.apps.baseml import (BasemlSpec, fit_packed,
+                                              make_objective)
+            from paml_tpu.core.topology import from_treenode
+            from paml_tpu.io import seqio, treeio
+            aln = seqio.read_alignment(f"{REF}/{seqfile}", 0)
+            data = seqio.pack(aln, cleandata=True)
+            topo = from_treenode(
+                treeio.read_trees(f"{REF}/{treefile}", data.names)[0],
+                data.names)
+            spec = BasemlSpec(cleandata=True, **kw)
+            res = fit_packed(data, topo, spec)
+            neg64, *_ = make_objective(data, topo, spec,
+                                       dtype=jnp.float64)
+            neg32, *_ = make_objective(data, topo, spec,
+                                       dtype=jnp.float32)
+            return neg32, neg64, np.asarray(res.x), golden
+        return build
+
+    # goldens: tests/golden_*.json values (published/reference-run optima)
+    return [
+        ("brown_K80", nuc("brown.nuc", "brown.trees", -2748.411046,
+                          model="K80")),
+        ("brown_HKY_G5", nuc("brown.nuc", "brown.trees", -2621.55434,
+                             model="HKY85", ncatG=5, fix_alpha=False,
+                             alpha=0.5)),
+        ("abglobin_M0_F3x4", codon("abglobin.nuc", "abglobin.trees",
+                                   -3048.771401)),
+        ("lysozyme_M1a", codon("lysozyme/lysozymeSmall.nuc",
+                               "lysozyme/lysozymeSmall.trees",
+                               -902.503872, NSsites=1)),
+        ("lysozyme_M2a", codon("lysozyme/lysozymeSmall.nuc",
+                               "lysozyme/lysozymeSmall.trees",
+                               -899.998568, NSsites=2)),
+        ("lysozyme_M7", codon("lysozyme/lysozymeSmall.nuc",
+                              "lysozyme/lysozymeSmall.trees",
+                              -902.510018, NSsites=7, ncatG=10)),
+        ("lysozyme_M8", codon("lysozyme/lysozymeSmall.nuc",
+                              "lysozyme/lysozymeSmall.trees",
+                              -899.999237, NSsites=8, ncatG=10)),
+        ("lysozyme_branchsiteA",
+         codon("lysozyme/lysozymeSmall.nuc",
+               "lysozyme/lysozymeSmall.trees", -898.514392, model=2,
+               NSsites=2, omega=1.5)),
+    ]
+
+
+def parity_main():
+    """On-chip golden parity pass (VERDICT r3 item 5): f32 forward lnL
+    (and one gradient) on the real TPU at the CPU-f64 MLE for each golden
+    config, rel error vs the f64 value; plus LRT cancellation — Delta lnL
+    between nested pairs on TPU vs CPU within 0.01."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    cpu = jax.devices("cpu")[0]
+    try:
+        tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
+    except (RuntimeError, IndexError):
+        tpu = None
+
+    # Phase A (CPU, x64 on): f64 fits for x-hat + f64/f32 CPU values.
+    rows = {}
+    lnls_tpu, lnls_64 = {}, {}
+    staged = []
+    for name, build in _parity_configs():
+        with jax.default_device(cpu):
+            neg32, neg64, xhat, golden = build()
+            x64 = jnp.asarray(xhat, jnp.float64)
+            v64 = -float(jax.jit(neg64)(x64))
+            x32 = jnp.asarray(xhat, jnp.float32)
+            v32_cpu = -float(jax.jit(neg32)(x32))
+        rows[name] = {
+            "golden_lnL": golden, "cpu_f64_lnL": round(v64, 6),
+            "cpu_f64_vs_golden": round(abs(v64 - golden), 6),
+            "cpu_f32_rel": round(abs(v32_cpu - v64) / abs(v64), 10)}
+        lnls_64[name] = v64
+        staged.append((name, neg32, np.asarray(xhat, np.float32), v64))
+
+    # Phase B (TPU, x64 OFF — Mosaic kernels reject i64 scalars that
+    # x64 mode introduces; the production chip path always runs x32).
+    if tpu is not None:
+        jax.config.update("jax_enable_x64", False)
+        for name, neg32, xhat, v64 in staged:
+            with jax.default_device(tpu):
+                f = jax.jit(jax.value_and_grad(neg32))
+                vt, gt = f(jnp.asarray(xhat, jnp.float32))
+                v32_tpu = -float(vt)
+                gfinite = bool(jnp.all(jnp.isfinite(gt)))
+            row = rows[name]
+            row["tpu_f32_lnL"] = round(v32_tpu, 6)
+            row["tpu_f32_rel"] = round(abs(v32_tpu - v64) / abs(v64), 10)
+            row["tpu_grad_finite"] = gfinite
+            row["pass"] = (row["tpu_f32_rel"] <= 1e-5 and gfinite)
+            lnls_tpu[name] = v32_tpu
+            import sys
+            print(f"# parity {name}: tpu_f32_rel="
+                  f"{row['tpu_f32_rel']:.3g} grad_finite={gfinite}",
+                  file=sys.stderr)
+
+    nested = {}
+    for pair in (("lysozyme_M2a", "lysozyme_M1a"),
+                 ("lysozyme_M8", "lysozyme_M7")):
+        a, b = pair
+        if a in lnls_tpu and b in lnls_tpu:
+            d_tpu = lnls_tpu[a] - lnls_tpu[b]
+            d_cpu = lnls_64[a] - lnls_64[b]
+            nested[f"{a}-{b}"] = {
+                "delta_tpu": round(d_tpu, 6), "delta_cpu64": round(d_cpu, 6),
+                "absdiff": round(abs(d_tpu - d_cpu), 6),
+                "pass": abs(d_tpu - d_cpu) <= 0.01}
+
+    ok = (all(r.get("pass", True) for r in rows.values())
+          and all(v["pass"] for v in nested.values()))
+    out = {"metric": "onchip_golden_parity",
+           "value": int(ok),
+           "unit": "all_pass",
+           "vs_baseline": 1.0,
+           "extra": {"configs": rows, "lrt_cancellation": nested,
+                     "tpu_present": tpu is not None}}
+    print(json.dumps(out))
+    with open("PARITY.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -128,6 +286,30 @@ def main():
     fwd_flops = (nnode - 1) * K_CLASSES * NPATT * 2 * n_states * n_states
     mfu = 4 * fwd_flops / dt / PEAK_BF16
 
+    # --- roofline breakdown (VERDICT r3 item 3): where the peak goes ---
+    # The fused kernel pads 61 states to N_pad sublanes and runs the
+    # 3-pass bf16x3 product; the MXU is a 128x128 systolic array, so a
+    # [64, 64] x [64, Ht] matmul fills only (64/128)^2 of it per pass.
+    N_pad = 64
+    pad_factor = (N_pad * N_pad) / (n_states * n_states)
+    mm_passes = {"bf16": 1, "3pass": 3, "6pass": 6}[
+        __import__("paml_tpu.core.pallas_pruning",
+                   fromlist=["_MM_MODE"])._MM_MODE]
+    mxu_fill = (N_pad / 128) ** 2
+    # fraction of peak spent on physical MACs (incl. padding + passes)
+    physical_frac = mfu * pad_factor * mm_passes
+    # ceiling on useful MFU if the MXU were 100% busy at this fill
+    ceiling_useful = mxu_fill / pad_factor / mm_passes
+    roofline = {
+        "n_states": n_states, "n_pad": N_pad,
+        "pad_factor": round(pad_factor, 3),
+        "mm_passes": mm_passes,
+        "mxu_fill_frac": round(mxu_fill, 3),
+        "physical_macs_frac_of_peak": round(physical_frac, 4),
+        "useful_mfu_ceiling_at_full_mxu_busy": round(ceiling_useful, 4),
+        "mxu_busy_frac_est": round(physical_frac / mxu_fill, 4),
+    }
+
     # TPU numerics vs exact-f32 CPU evaluation at the same point (einsum
     # paths; the fused kernel cannot compile for CPU)
     from paml_tpu.core.pallas_pruning import set_pallas_mode
@@ -156,6 +338,37 @@ def main():
     assert bool(jnp.isfinite(bv)), "non-finite big-shape loss"
     big_pattern_evals = BIG_NPATT / bdt
 
+    # big-kernel HBM traffic model (pallas_pruning_big shapes): per
+    # val+grad eval the P array streams through VMEM twice (fwd + bwd,
+    # once per pattern tile), the S checkpoint is written fwd and read
+    # bwd, and per-tile dP partials are written then reduced by XLA
+    from paml_tpu.core import pallas_pruning_big as pbig
+    from paml_tpu.core.topology import from_treenode as _ftn
+    bC = 4                                   # branch-site A classes
+    bnnode = 2 * BIG_TAXA - 1
+    bnint = bnnode - BIG_TAXA
+    NJ, Nb = pbig._NJ, 128
+    Ht = 512                                 # choose_tile_big preference
+    grid_total = BIG_NPATT // Ht
+    P_bytes = bnnode * bC * NJ * Nb * 4
+    S_bytes = bnint * bC * Nb * BIG_NPATT * 4
+    dP_tile_bytes = grid_total * bnnode * bC * NJ * Nb * 4
+    hbm_bytes = (2 * grid_total * P_bytes      # P stream fwd + bwd
+                 + 2 * S_bytes                 # S write (fwd) + read (bwd)
+                 + 2 * dP_tile_bytes           # dP write + XLA reduce read
+                 + 2 * BIG_TAXA * BIG_NPATT * 4)   # tips fwd + bwd
+    HBM_PEAK = 819e9                           # v5e HBM bandwidth
+    big_gbps = hbm_bytes / bdt / 1e9
+    # padded MACs: fwd 1 matmul/branch + bwd 2 (dA, dP), x3 bf16 passes
+    big_fwd_macs = (bnnode - 1) * bC * BIG_NPATT * 2 * NJ * Nb * 3
+    big_roofline = {
+        "hbm_model_gb_per_eval": round(hbm_bytes / 1e9, 2),
+        "achieved_gbps": round(big_gbps, 1),
+        "hbm_frac_of_peak": round(big_gbps * 1e9 / HBM_PEAK, 3),
+        "padded_mac_frac_of_peak": round(
+            3 * big_fwd_macs / bdt / PEAK_BF16, 3),
+    }
+
     print(json.dumps({
         "metric": "codon61_sitepattern_lnl+grad_evals_per_sec_per_chip",
         "value": round(pattern_evals_per_sec, 1),
@@ -164,14 +377,35 @@ def main():
         "extra": {
             "primary_ms_per_eval": round(dt * 1e3, 3),
             "mfu_vs_bf16_peak": round(mfu, 4),
+            "roofline": roofline,
             "tpu_vs_cpu_f32_lnl_absdiff": round(f32_err, 6),
             "tpu_vs_cpu_f32_lnl_reldiff": round(f32_rel, 10),
             "big_shape": f"{BIG_TAXA}taxa x {BIG_NPATT}patt branch-site A",
             "big_pattern_evals_per_sec": round(big_pattern_evals, 1),
             "big_ms_per_eval": round(bdt * 1e3, 1),
+            "big_roofline": big_roofline,
+            "convergence_wall_times": _load_aux_json("BENCH_EXAMPLES.json"),
+            "onchip_parity": _load_aux_json("PARITY.json"),
         },
     }))
 
 
+def _load_aux_json(path):
+    """Fold in the latest committed aux benchmark tables (produced by
+    bench_examples.py and `bench.py --parity`) so BENCH_rN carries them."""
+    import os
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--parity" in sys.argv:
+        parity_main()
+    else:
+        main()

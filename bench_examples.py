@@ -138,6 +138,10 @@ method = 0
 
 
 def main():
+    # 8 virtual CPU devices for the mesh-scaling rows (must be set before
+    # the first jax import initializes the backend)
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
     with_ref = "--no-reference" not in sys.argv
     out = {}
 
@@ -238,9 +242,98 @@ def main():
         print("mcmctree approx DatingSoftBound:",
               out["mcmctree_approx_DatingSoftBound"], flush=True)
 
+    # 6. HIVNSsites NSsites batch 0 1 2 through the ctl front end
+    _setup_jax()
+    from paml_tpu.__main__ import run_codeml as _run_codeml_cli
+    with tempfile.TemporaryDirectory() as d:
+        cwd = os.getcwd()
+        os.chdir(d)
+        try:
+            t0 = time.perf_counter()
+            _run_codeml_cli(f"{REF}/HIVNSsites/codeml.ctl")
+            wall = time.perf_counter() - t0
+        finally:
+            os.chdir(cwd)
+    row = {"ours": dict(wall_s=round(wall, 2),
+                        note="M0+M1a+M2a batch via ctl")}
+    if with_ref:
+        r = _ref_run("codeml", open(f"{REF}/HIVNSsites/codeml.ctl").read()
+                     .replace("= HIVenvSweden.txt",
+                              f"= {REF}/HIVNSsites/HIVenvSweden.txt")
+                     .replace("= HIVenvSweden.trees",
+                              f"= {REF}/HIVNSsites/HIVenvSweden.trees"))
+        row["reference"] = r
+    out["codeml_NSsites_batch_HIVNSsites"] = row
+    print(f"codeml NSsites batch HIV: {row}", flush=True)
+
+    # 7. MouseLemurs local-clock dating (Yoder & Yang 2003): F84+G5,
+    # clock 3 combined analysis
+    row = {"ours": _ours_baseml("F84", "MouseLemurs/MouseLemurs.nuc",
+                                "MouseLemurs/MouseLemurs.trees",
+                                clock=3, fix_alpha=False, alpha=0.5,
+                                ncatG=5, kappa=2.3)}
+    if with_ref:
+        row["reference"] = _ref_run("baseml", BASEML_CTL.format(
+            seq=f"{REF}/MouseLemurs/MouseLemurs.nuc",
+            tree=f"{REF}/MouseLemurs/MouseLemurs.trees",
+            model=3, fix_alpha=0, alpha=0.5, ncatG=5)
+            .replace("clock = 0", "clock = 3"))
+    out["baseml_clock3_MouseLemurs"] = row
+    print(f"baseml clock3 MouseLemurs: {row}", flush=True)
+
+    # 8. virtual-mesh scaling curve: sharded objective eval throughput on
+    # 1/2/4/8 CPU virtual devices.  CPU vdevs share host cores, so this
+    # measures partitioning overhead (plumbing), not speedup — the real
+    # scaling axis is ICI on a TPU pod (shard_map over the pattern mesh)
+    out["vdev_scaling"] = _vdev_scaling()
+    print(f"vdev scaling: {out['vdev_scaling']}", flush=True)
+
     with open("BENCH_EXAMPLES.json", "w") as f:
         json.dump(out, f, indent=1)
     print("wrote BENCH_EXAMPLES.json")
+
+
+def _vdev_scaling():
+    """Jitted sharded codon objective (value+grad) wall time per eval at
+    mesh sizes 1/2/4/8 (virtual CPU devices)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from paml_tpu.apps import codeml
+    from paml_tpu.core.topology import from_treenode
+    from paml_tpu.io import seqio, treeio
+    from paml_tpu.parallel.sharding import data_mesh, replicate, shard_data
+
+    aln = seqio.read_alignment(f"{REF}/abglobin.nuc", 1)
+    data = seqio.pack(aln, cleandata=True, icode=0)
+    topo = from_treenode(
+        treeio.read_trees(f"{REF}/abglobin.trees", data.names)[0],
+        data.names)
+    spec = codeml.CodemlSpec(cleandata=True, NSsites=3, ncatG=3)
+    neg, *_rest = codeml.make_codon_objective(data, topo, spec)
+    x = jnp.asarray(_rest[2])
+    devs = jax.devices()
+    rows = {}
+    for nd in (1, 2, 4, 8):
+        if len(devs) < nd:
+            break
+        mesh = data_mesh(devs[:nd])
+        tips_s, fpatt_s = shard_data(mesh, data.tip_partials, data.fpatt)
+        xs = replicate(mesh, x)
+        step = jax.jit(jax.value_and_grad(
+            lambda p, t, f: neg.with_data(p, t, f)))
+        with mesh:
+            v, g = step(xs, tips_s, fpatt_s)
+            jax.block_until_ready(v)
+            t0 = time.perf_counter()
+            for _ in range(5):
+                v, g = step(xs, tips_s, fpatt_s)
+            jax.block_until_ready(v)
+            dt = (time.perf_counter() - t0) / 5
+        rows[f"mesh_{nd}"] = dict(ms_per_eval=round(dt * 1e3, 2),
+                                  lnL=round(-float(v), 6))
+    return rows
 
 
 if __name__ == "__main__":
