@@ -369,6 +369,34 @@ def main():
             3 * big_fwd_macs / bdt / PEAK_BF16, 3),
     }
 
+    # on-chip convergence: whole abglobin M0 fit on the TPU via the
+    # bounded on-device L-BFGS (no host round-trips; VERDICT r3 weak 5)
+    onchip_fit = None
+    try:
+        from paml_tpu.apps import codeml as codeml_app
+        from paml_tpu.core.optim import maximize_jax_bounded
+        from paml_tpu.core.topology import from_treenode
+        from paml_tpu.io import seqio, treeio
+        REFEX = "/root/reference/examples"
+        aln = seqio.read_alignment(f"{REFEX}/abglobin.nuc", 1)
+        adata = seqio.pack(aln, cleandata=True, icode=0)
+        atopo = from_treenode(
+            treeio.read_trees(f"{REFEX}/abglobin.trees", adata.names)[0],
+            adata.names)
+        aneg, *_arest = codeml_app.make_codon_objective(
+            adata, atopo, codeml_app.CodemlSpec(cleandata=True),
+            dtype=jnp.float32)
+        t0 = time.perf_counter()
+        _x, alnl, ait = maximize_jax_bounded(aneg, _arest[2], _arest[3],
+                                             dtype=jnp.float32)
+        onchip_fit = {
+            "config": "abglobin M0 F3x4 (golden lnL -3048.771401)",
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "lnL": round(alnl, 4), "iters": ait,
+            "lnL_gap_vs_golden": round(abs(alnl - -3048.771401), 4)}
+    except Exception as e:  # keep the primary metric robust
+        onchip_fit = {"error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "codon61_sitepattern_lnl+grad_evals_per_sec_per_chip",
         "value": round(pattern_evals_per_sec, 1),
@@ -384,6 +412,7 @@ def main():
             "big_pattern_evals_per_sec": round(big_pattern_evals, 1),
             "big_ms_per_eval": round(bdt * 1e3, 1),
             "big_roofline": big_roofline,
+            "onchip_fit_abglobin_M0": onchip_fit,
             "convergence_wall_times": _load_aux_json("BENCH_EXAMPLES.json"),
             "onchip_parity": _load_aux_json("PARITY.json"),
         },

@@ -143,9 +143,16 @@ def discrete_gamma(alpha: jnp.ndarray, K: int, beta: jnp.ndarray | None = None,
     return r, jnp.full((K,), 1.0 / K, alpha.dtype)
 
 
-def betaincinv(p_: jnp.ndarray, q_: jnp.ndarray, y: jnp.ndarray,
-               n_iter: int = 60) -> jnp.ndarray:
-    """Inverse regularized incomplete beta via bisection + Newton polish."""
+@jax.custom_jvp
+def betaincinv(p_: jnp.ndarray, q_: jnp.ndarray,
+               y: jnp.ndarray) -> jnp.ndarray:
+    """Inverse regularized incomplete beta via bisection + Newton polish.
+
+    Gradients come from the inverse-function theorem (custom JVP below)
+    instead of differentiating through the 65 solver iterations — the
+    iteration adjoint divides by pdf values that overflow f32 when the
+    beta is boundary-spiked (tiny p, q — exactly where M7/M8 optima sit),
+    which produced non-finite f32 gradients on the chip."""
     p_ = jnp.asarray(p_, jnp.result_type(p_, 0.5))
     q_ = jnp.asarray(q_, p_.dtype)
     y = jnp.asarray(y, p_.dtype)
@@ -161,7 +168,7 @@ def betaincinv(p_: jnp.ndarray, q_: jnp.ndarray, y: jnp.ndarray,
         hi = jnp.where(f < y, hi, mid)
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, n_iter, bis, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, 60, bis, (lo, hi))
     x = 0.5 * (lo + hi)
     lnB = gammaln(p_) + gammaln(q_) - gammaln(p_ + q_)
 
@@ -173,6 +180,35 @@ def betaincinv(p_: jnp.ndarray, q_: jnp.ndarray, y: jnp.ndarray,
         return jnp.where(jnp.isfinite(xn), xn, x)
 
     return jax.lax.fori_loop(0, 5, newton, x)
+
+
+@betaincinv.defjvp
+def _betaincinv_jvp(primals, tangents):
+    """d I^-1(y; p, q) by the inverse-function theorem:
+    dx = (dy - I_p dp - I_q dq) / pdf(x), with the pdf clamped so
+    boundary-spiked betas give large-but-finite (then clipped) tangents
+    rather than f32 overflow."""
+    p_, q_, y = primals
+    dp, dq, dy = tangents
+    x = betaincinv(p_, q_, y)
+    dt = x.dtype
+    tiny = 1e-10 if dt == jnp.float32 else 1e-14
+    cap = 1e8 if dt == jnp.float32 else 1e14
+    xc = jnp.clip(x, tiny, 1.0 - tiny)
+    lnB = gammaln(p_) + gammaln(q_) - gammaln(p_ + q_)
+    logpdf = (p_ - 1) * jnp.log(xc) + (q_ - 1) * jnp.log1p(-xc) - lnB
+    pdf = jnp.exp(jnp.clip(logpdf, -80.0, 80.0))
+    one = jnp.ones_like(p_)
+    dIdp = jax.jvp(lambda a: betainc(a, q_, xc), (p_,), (one,))[1]
+    dIdq = jax.jvp(lambda b: betainc(p_, b, xc), (q_,), (one,))[1]
+    # primal-side safeguards only (clamped pdf denominator, clipped
+    # sensitivities) so the tangent map stays LINEAR in (dp, dq, dy) —
+    # reverse mode transposes it automatically
+    dIdp = jnp.clip(jnp.nan_to_num(dIdp), -cap, cap)
+    dIdq = jnp.clip(jnp.nan_to_num(dIdq), -cap, cap)
+    inv_pdf = 1.0 / jnp.maximum(pdf, 1.0 / cap)
+    dx = (jnp.zeros_like(x) + dy - dIdp * dp - dIdq * dq) * inv_pdf
+    return x, dx
 
 
 def discrete_beta(p: jnp.ndarray, q: jnp.ndarray, K: int,

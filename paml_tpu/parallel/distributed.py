@@ -27,18 +27,24 @@ def initialize(coordinator_address: str | None = None,
     the standard JAX_COORDINATOR_* environment variables).  Single-host
     runs may skip this entirely.
     """
-    if jax.process_count() > 1:
-        return                     # already initialized
+    # NOTE: do not probe jax.process_count() here — it initializes the
+    # XLA backend, after which jax.distributed.initialize refuses to run
+    try:
+        from jax._src.distributed import global_state
+        if getattr(global_state, "client", None) is not None:
+            return                 # already joined
+    except ImportError:  # pragma: no cover - private API moved
+        pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
     except (ValueError, RuntimeError) as e:
+        if "already" in str(e).lower():
+            return
         if num_processes not in (None, 1):
             raise
         # single-process run without cluster metadata: nothing to join
-        if "already" not in str(e).lower():
-            pass
 
 
 def global_data_mesh(axis: str = "data") -> Mesh:

@@ -62,3 +62,28 @@ def test_hkyrev_abglobin():
         atol=2e-4)
     assert float(res.class_omegas[0, 0]) == pytest.approx(0.12177,
                                                           abs=2e-4)
+
+
+def test_ondevice_bounded_lbfgs_matches_scipy_path():
+    """Whole-fit-on-device bounded optax L-BFGS (core/optim.py
+    maximize_jax_bounded) reaches the abglobin M0 golden optimum
+    (-3048.771401) without any host round-trips."""
+    import jax.numpy as jnp
+
+    from paml_tpu.apps import codeml
+    from paml_tpu.core.optim import maximize_jax_bounded
+    from paml_tpu.core.topology import from_treenode
+    from paml_tpu.io import seqio, treeio
+
+    aln = seqio.read_alignment(
+        conftest.ref_path("examples", "abglobin.nuc"), 1)
+    data = seqio.pack(aln, cleandata=True, icode=0)
+    topo = from_treenode(
+        treeio.read_trees(conftest.ref_path("examples", "abglobin.trees"),
+                          data.names)[0], data.names)
+    spec = codeml.CodemlSpec(cleandata=True)
+    neg, _u, _c, x0, bounds, _pi = codeml.make_codon_objective(
+        data, topo, spec)
+    x, lnl, it = maximize_jax_bounded(neg, x0, bounds, dtype=jnp.float64)
+    assert lnl == pytest.approx(-3048.771401, abs=2e-4)
+    assert it < 200
