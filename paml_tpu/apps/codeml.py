@@ -555,14 +555,22 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
                 spec.hkyREV, dtype)
             s = s * codonmod.fmutsel_multiplier(graph, pf, pi_d, data.ls,
                                                 dtype)
+            rs, ra = codonmod.flux(graph, s, pi_d)
+            w_flat = W.reshape(-1)                          # [B*K]
+            Qs = jax.vmap(
+                lambda w: codonmod.build_Q(graph, s, w, pi_d))(w_flat)
         else:
+            # dense scatter-free Q build (TPU scatters serialize; this is
+            # pure elementwise + one [3,4] gather per eval)
             pi_d = pi
-            s = codonmod.mutation_part(
+            s_d = codonmod.mutation_dense(
                 graph, kappa if spec.hkyREV else kappa[0], pf3x4,
                 spec.hkyREV, dtype)
-        rs, ra = codonmod.flux(graph, s, pi_d)
-        w_flat = W.reshape(-1)                              # [B*K]
-        Qs = jax.vmap(lambda w: codonmod.build_Q(graph, s, w, pi_d))(w_flat)
+            rs, ra = codonmod.flux_dense(graph, s_d, pi_d)
+            w_flat = W.reshape(-1)                          # [B*K]
+            Qs = jax.vmap(
+                lambda w: codonmod.build_Q_dense(graph, s_d, w, pi_d))(
+                    w_flat)
         if scale_mode == "per_Q":
             scale_flat = 1.0 / (rs + ra * w_flat)           # [B*K]
         else:

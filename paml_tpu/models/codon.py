@@ -350,6 +350,81 @@ def selection_coefficients(graph: CodonGraph, pf, pi, kappa, omega,
     }
 
 
+@lru_cache(maxsize=None)
+def _dense_tables(icode: int):
+    """Dense [n, n] constant tables for scatter-free Q construction.
+
+    TPU scatters serialize; with these masks the per-evaluation Q build
+    is pure elementwise/gather work (reference semantics identical to
+    eigenQcodon's pair loop, src/codeml.c:3229-3301)."""
+    g = codon_graph(icode)
+    n = g.n
+
+    def dense(vals, fill=0.0, dt=np.float64):
+        D = np.full((n, n), fill, dt)
+        D[g.pi_idx, g.pj_idx] = vals
+        D[g.pj_idx, g.pi_idx] = vals
+        return D
+
+    ts = dense(g.is_ts.astype(np.float64))
+    tv = dense((~g.is_ts).astype(np.float64))
+    syn = dense(g.is_syn.astype(np.float64))
+    nonsyn = dense((~g.is_syn).astype(np.float64))
+    gtr = dense(g.gtr_class, fill=6, dt=np.int32)   # 6 = not a pair -> 0
+    pairm = dense(np.ones(len(g.pi_idx)))
+    # Muse-Gaut divisor index tables: the two unchanged positions of the
+    # pair (both orientations share them); 0s off-pairs (divisor -> 1)
+    up0 = dense(g.unch_pos[:, 0], dt=np.int32)
+    up1 = dense(g.unch_pos[:, 1], dt=np.int32)
+    un0 = dense(g.unch_nt[:, 0], dt=np.int32)
+    un1 = dense(g.unch_nt[:, 1], dt=np.int32)
+    return dict(ts=ts, tv=tv, syn=syn, nonsyn=nonsyn, gtr=gtr,
+                pair=pairm, up0=up0, up1=up1, un0=un0, un1=un1)
+
+
+def mutation_dense(graph: CodonGraph, kappa, pf3x4=None,
+                   hkyrev: bool = False, dtype=jnp.float64):
+    """Dense symmetric mutation exchangeabilities [n, n] (zero off the
+    1-difference pairs); the scatter-free equivalent of mutation_part."""
+    T = _dense_tables(graph.icode)
+    if hkyrev:
+        rates7 = jnp.concatenate([jnp.asarray(kappa, dtype).reshape(-1),
+                                  jnp.ones((1,), dtype),
+                                  jnp.zeros((1,), dtype)])
+        s = rates7[jnp.asarray(T["gtr"])]
+    else:
+        k = jnp.asarray(kappa, dtype).reshape(())
+        s = k * jnp.asarray(T["ts"], dtype) + jnp.asarray(T["tv"], dtype)
+    if pf3x4 is not None:
+        pf = jnp.asarray(pf3x4, dtype)
+        f1 = pf[jnp.asarray(T["up0"]), jnp.asarray(T["un0"])]
+        f2 = pf[jnp.asarray(T["up1"]), jnp.asarray(T["un1"])]
+        # off-pair cells divide by pf[0,0]^2 but s is 0 there already
+        s = s / (f1 * f2)
+    return s
+
+
+def build_Q_dense(graph: CodonGraph, s_dense, omega, pi, dtype=None):
+    """Unnormalized Q from a dense mutation matrix — no scatters."""
+    T = _dense_tables(graph.icode)
+    if dtype is None:
+        dtype = jnp.result_type(s_dense.dtype, jnp.asarray(pi).dtype)
+    wfac = (jnp.asarray(T["syn"], dtype)
+            + omega * jnp.asarray(T["nonsyn"], dtype))
+    Q = s_dense.astype(dtype) * wfac * jnp.asarray(pi, dtype)[None, :]
+    return Q - jnp.diag(jnp.sum(Q, axis=1))
+
+
+def flux_dense(graph: CodonGraph, s_dense, pi):
+    """(rs, ra) from the dense mutation matrix (== flux on pairs)."""
+    T = _dense_tables(graph.icode)
+    dt = s_dense.dtype
+    base = pi[:, None] * s_dense * pi[None, :]
+    rs = jnp.sum(base * jnp.asarray(T["syn"], dt))
+    ra = jnp.sum(base * jnp.asarray(T["nonsyn"], dt))
+    return rs, ra
+
+
 def flux(graph: CodonGraph, s, pi):
     """Synonymous and nonsynonymous flux at omega=1:
     mr(Q(omega)) = rs + omega * ra."""
