@@ -328,6 +328,33 @@ def main():
     fwd_flops = (nnode - 1) * K_CLASSES * NPATT * 2 * n_states * n_states
     mfu = 4 * fwd_flops / dt / PEAK_BF16
 
+    # measured phase split: P(t)-model construction vs the pruning kernel
+    # (the pruning VJP is the remainder of the fused step)
+    xs30 = x[None, :] + 1e-6 * jnp.arange(30, dtype=x.dtype)[:, None]
+
+    @jax.jit
+    def ma_scan(xs):
+        def body(c, xi):
+            P_, piC_, fr_ = neg_lnl.model_at(xi)
+            # consume ALL of P so XLA cannot dead-code-eliminate any of
+            # the P(t) construction
+            return c + jnp.sum(P_) + jnp.sum(fr_), None
+        tot, _ = jax.lax.scan(body, jnp.asarray(0.0, x.dtype), xs)
+        return tot
+    out_ma = ma_scan(xs30)
+    jax.block_until_ready(out_ma)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out_ma = ma_scan(xs30)
+    jax.block_until_ready(out_ma)
+    model_ms = (time.perf_counter() - t0) / 90 * 1e3
+    phase_split = {
+        "model_at_fwd_ms": round(model_ms, 3),
+        "fused_step_ms": round(dt * 1e3, 3),
+        "note": "model_at = Q build + uniformization P(t); "
+                "remainder = pruning kernel fwd+adjoint + overheads",
+    }
+
     # --- roofline breakdown (VERDICT r3 item 3): where the peak goes ---
     # The fused kernel pads 61 states to N_pad sublanes and runs the
     # 3-pass bf16x3 product; the MXU is a 128x128 systolic array, so a
@@ -450,6 +477,7 @@ def main():
                                                        3),
             "mfu_vs_bf16_peak": round(mfu, 4),
             "roofline": roofline,
+            "phase_split": phase_split,
             "tpu_vs_cpu_f32_lnl_absdiff": round(f32_err, 6),
             "tpu_vs_cpu_f32_lnl_reldiff": round(f32_rel, 10),
             "big_shape": f"{BIG_TAXA}taxa x {BIG_NPATT}patt branch-site A",
