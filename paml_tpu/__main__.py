@@ -7,7 +7,9 @@ Usage:
   python -m paml_tpu codeml  [codeml.ctl]
   python -m paml_tpu yn00    [yn00.ctl]
   python -m paml_tpu chi2    [df stat]        # LRT p-values (reference chi2)
-  python -m paml_tpu evolver <mode> <datfile> # simulation
+  python -m paml_tpu evolver <mode> <args>    # 1-4 trees, 5-7 simulate,
+                                              # 8 distances, 9 clade
+                                              # support, 11 label clades
   python -m paml_tpu mcmctree [ctl | --combine out in1 in2 ...]
   python -m paml_tpu infinitesites [mcmctree.ctl]  # infinite-sites dating
   python -m paml_tpu ds      <samplefile>     # descriptive statistics
