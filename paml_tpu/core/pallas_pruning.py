@@ -232,7 +232,17 @@ def _dot(a, b, exact=False):  # [N, N] @ [N, Ht]
 # bitwise per-class-equivalent up to contraction-order of added zeros.
 
 
+# PAML_TPU_PACK=0 disables class packing (A/B measured on the bench
+# workload, C=3: runtime within ~2% either way — the kernels are not
+# MXU-fill-bound at these shapes — while packed backward compiles take
+# ~70% longer; packing stays on for the higher-C NSsites shapes and
+# because the persistent compile cache amortizes the one-time cost)
+_PACK = _os.environ.get("PAML_TPU_PACK", "1") != "0"
+
+
 def _class_group(N: int, C: int) -> int:
+    if not _PACK:
+        return 1
     return max(1, min(128 // N, C))
 
 
