@@ -669,9 +669,20 @@ def run_chi2(args: list[str]) -> None:
 
 
 def _init_jax_backend() -> None:
-    """Fall back to CPU when the pinned platform is unavailable."""
+    """Pick the CLI compute device.
+
+    The ctl front ends run the float64 parity path; f64 on TPU is
+    EMULATED (slow, and numerically fragile for the stiff codon models —
+    an FMutSel fit NaNs out), so the CLI defaults to CPU.  Set
+    PAML_TPU_CLI_DEVICE=tpu to opt in to the accelerator (f32-dominant
+    workloads; the library API and bench.py target the TPU directly)."""
+    import os
+
     import jax
 
+    dev = os.environ.get("PAML_TPU_CLI_DEVICE", "cpu").lower()
+    if dev != "tpu":
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.devices()
     except RuntimeError:

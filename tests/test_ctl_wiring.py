@@ -212,3 +212,34 @@ ncatG = 8
     assert mm == pytest.approx(2.9244, abs=1e-3)
     assert su == pytest.approx(2.0498, abs=1e-3)
     assert yk == pytest.approx(1.3649, abs=1e-3)
+
+
+@pytest.mark.slow
+def test_myxo_fmutsel_ctl_end_to_end(tmp_path, monkeypatch):
+    """myxo FMutSel ctl (CodonFreq=7, estFreq=0, gappy .aln alignment,
+    cleandata=0): fresh reference run gives lnL -12249.403354 (np 26).
+    Regression for the CLI silently running f64 fits on the emulated-f64
+    TPU backend (an FMutSel fit NaN'd out there)."""
+    from paml_tpu.__main__ import run_codeml
+
+    ctl = tmp_path / "codeml.ctl"
+    ctl.write_text(f"""
+seqfile = {conftest.ref_path('examples', 'myxo', 'myxovirus.aln')}
+treefile = {conftest.ref_path('examples', 'myxo', 'myxovirus.tree')}
+outfile = out_M0.txt
+seqtype = 1
+ndata = 1
+icode = 0
+cleandata = 0
+model = 0
+NSsites = 0
+CodonFreq = 7
+estFreq = 0
+fix_omega = 0
+omega = 0.5
+""")
+    monkeypatch.chdir(tmp_path)
+    run_codeml(str(ctl))
+    text = (tmp_path / "out_M0.txt").read_text()
+    lnl = float(re.search(r"lnL.*?(-\d+\.\d+)", text).group(1))
+    assert lnl == pytest.approx(-12249.403354, abs=2e-3)

@@ -178,3 +178,21 @@ def test_mcmctree_ctl_short_chain(tmp_path, monkeypatch):
     # (~0.15 at the example's 100 Myr time unit; RootAge bound < 1.0)
     root_mean = max(means)
     assert 0.05 < root_mean < 1.0
+
+
+@pytest.mark.slow
+def test_clade_model_c_ctl(tmp_path, monkeypatch):
+    """CladeModelCD clade model C ctl (model=3 NSsites=2, 2 clades):
+    fresh reference run gives lnL -1702.903642 (np 33)."""
+    from paml_tpu.__main__ import run_codeml
+
+    src = conftest.ref_path("examples", "CladeModelCD")
+    text = open(f"{src}/codeml.CladeC.ctl").read()
+    text = text.replace("= ECP_EDN_15.nuc", f"= {src}/ECP_EDN_15.nuc")
+    text = text.replace("= tree.txt", f"= {src}/tree.txt")
+    (tmp_path / "codeml.ctl").write_text(text)
+    monkeypatch.chdir(tmp_path)
+    run_codeml(str(tmp_path / "codeml.ctl"))
+    mlc = (tmp_path / "mlc").read_text()
+    lnl = float(re.search(r"lnL.*?(-\d+\.\d+)", mlc).group(1))
+    assert lnl == pytest.approx(-1702.903642, abs=2e-3)
