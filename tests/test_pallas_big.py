@@ -55,3 +55,14 @@ def test_big_kernel_multifurcating_uneven():
     assert got.shape == (4, 193)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_choose_tile_big_rejects_wide_state_spaces():
+    """State spaces wider than the NJ=64 sublane padding must fall back
+    to the einsum paths instead of crashing on a negative pad (ADVICE
+    r3: 64 < n <= 128 hit `NJ - n < 0` in _grids)."""
+    from paml_tpu.core import pallas_pruning_big as pbig
+    P, tips, topo, pi = _random_problem(ns=12, H=64, C=2, seed=9,
+                                        state_tips=True)
+    assert pbig.choose_tile_big(topo, 2, 128, n=100) is None
+    assert pbig.choose_tile_big(topo, 2, 128, n=61) is not None
