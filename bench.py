@@ -466,6 +466,27 @@ def main():
     except Exception as e:  # keep the primary metric robust
         onchip_fit = {"error": str(e)[:200]}
 
+    # Full detail (rooflines, phase splits, aux tables) goes to a file;
+    # stdout's final line stays compact so the driver's tail capture can
+    # parse it (VERDICT r4 missing #4).
+    detail = {
+        "primary_ms_per_eval": round(dt * 1e3, 3),
+        "primary_ms_per_eval_with_dispatch": round(dt_dispatch * 1e3, 3),
+        "mfu_vs_bf16_peak": round(mfu, 4),
+        "roofline": roofline,
+        "phase_split": phase_split,
+        "tpu_vs_cpu_f32_lnl_absdiff": round(f32_err, 6),
+        "tpu_vs_cpu_f32_lnl_reldiff": round(f32_rel, 10),
+        "big_shape": f"{BIG_TAXA}taxa x {BIG_NPATT}patt branch-site A",
+        "big_pattern_evals_per_sec": round(big_pattern_evals, 1),
+        "big_ms_per_eval": round(bdt * 1e3, 1),
+        "big_roofline": big_roofline,
+        "onchip_fit_abglobin_M0": onchip_fit,
+        "convergence_wall_times": _load_aux_json("BENCH_EXAMPLES.json"),
+        "onchip_parity": _load_aux_json("PARITY.json"),
+    }
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=1)
     print(json.dumps({
         "metric": "codon61_sitepattern_lnl+grad_evals_per_sec_per_chip",
         "value": round(pattern_evals_per_sec, 1),
@@ -473,20 +494,10 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "extra": {
             "primary_ms_per_eval": round(dt * 1e3, 3),
-            "primary_ms_per_eval_with_dispatch": round(dt_dispatch * 1e3,
-                                                       3),
             "mfu_vs_bf16_peak": round(mfu, 4),
-            "roofline": roofline,
-            "phase_split": phase_split,
-            "tpu_vs_cpu_f32_lnl_absdiff": round(f32_err, 6),
-            "tpu_vs_cpu_f32_lnl_reldiff": round(f32_rel, 10),
-            "big_shape": f"{BIG_TAXA}taxa x {BIG_NPATT}patt branch-site A",
-            "big_pattern_evals_per_sec": round(big_pattern_evals, 1),
             "big_ms_per_eval": round(bdt * 1e3, 1),
-            "big_roofline": big_roofline,
-            "onchip_fit_abglobin_M0": onchip_fit,
-            "convergence_wall_times": _load_aux_json("BENCH_EXAMPLES.json"),
-            "onchip_parity": _load_aux_json("PARITY.json"),
+            "f32_rel": round(f32_rel, 10),
+            "detail_file": "BENCH_DETAIL.json",
         },
     }))
 

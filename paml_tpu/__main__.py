@@ -310,6 +310,35 @@ def run_codeml(ctl_path: str) -> None:
             write_pairwise_matrix(f"2ML.{q}", data.names, mats[q])
         print(f"pairwise results written to {outfile} + 2ML.*")
         return
+    if extras.get("runmode", 0) in (2, 3, 4, 5):
+        # tree search under the codon/AA model (reference supports the
+        # same runmodes in codeml: Forestry -> StepwiseAddition etc.,
+        # src/codeml.c:606, src/treesub.c:4866)
+        from .apps import treesearch
+        runmode = extras["runmode"]
+
+        def fit_fn(topo_, sub):
+            return (codeml.fit_aa_packed(sub, topo_, spec).lnL
+                    if spec.seqtype in (2, 3)
+                    else codeml.fit_packed(sub, topo_, spec).lnL)
+
+        if runmode == 3:
+            tree, score = treesearch.stepwise_addition_ml(
+                data, fit_fn, progress=True)
+        elif runmode == 2:
+            tree, score = treesearch.star_decomposition(
+                data, lambda t_, d_: fit_fn(t_, d_), progress=True)
+        else:
+            start, _ = treesearch.stepwise_addition_mp(data)
+            tree, score = treesearch.nni_search_ml(
+                data, start, lambda t_: fit_fn(t_, data))
+        with open(outfile, "w") as out:
+            out.write(f"CODEML (paml_tpu) tree search runmode {runmode}\n")
+            out.write(f"best lnL = {score:.6f}\n")
+            out.write(treeio.write_newick(tree, branch_lengths=False)
+                      + "\n")
+        print(f"tree search done: lnL {score:.6f} -> {outfile}")
+        return
     trees = treeio.read_trees(treefile, data.names)
     ns_list = extras["NSsites_list"] or [spec.NSsites]
     rate_ancestor = extras.get("RateAncestor", 0)
@@ -510,6 +539,26 @@ def run_yn00(ctl_path: str) -> None:
     from .io.seqio import read_alignment
 
     opts = ctlmod.yn00_opts(ctlmod.read_ctl(ctl_path), ctl_path)
+    ndata = opts.get("ndata", 1)
+    if ndata > 1:
+        # multiple stacked data sets (reference: the yn00 ndata loop)
+        from .io import seqio as _seqio
+        alns = _seqio.read_alignments(opts["seqfile"], _seqio.CODON_SEQ,
+                                      ndata)
+        with open(opts["outfile"], "w") as out:
+            out.write("YN00 (paml_tpu)\n")
+            for i, a in enumerate(alns):
+                d = _seqio.pack(a, cleandata=True, icode=opts["icode"])
+                rs = yn00.run_packed(d, icode=opts["icode"],
+                                     weighting=opts["weighting"],
+                                     common_f3x4=opts["common_f3x4"])
+                out.write(f"\nData set {i + 1}\n")
+                for r in rs:
+                    out.write(f"{r.i + 1:4d}{r.j + 1:4d} {r.t:8.4f}"
+                              f"{r.kappa:8.4f}{r.omega:8.4f} "
+                              f"{r.dN:7.4f} {r.dS:7.4f}\n")
+        print(f"{ndata} data sets written to {opts['outfile']}")
+        return
     results = yn00.run(opts["seqfile"], icode=opts["icode"],
                        weighting=opts["weighting"],
                        common_f3x4=opts["common_f3x4"])

@@ -14,7 +14,7 @@ parameters; Mgene=4 both; Mgene=1 fully separate analyses per gene.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as dc_replace
 
 import jax
 import jax.numpy as jnp
@@ -285,9 +285,15 @@ def make_objective(data: seqio.PackedData, topo: Topology, spec: BasemlSpec,
     nrgene = G - 1
     est_alpha = ((spec.ncatG > 1) or spec.continuous_gamma) \
         and not spec.fix_alpha
+    nparK = spec.nparK
+    if nparK >= 1:
+        # the rate-class HMM never uses alpha/rho; the reference coerces
+        # them fixed (src/baseml.c:1077).  Leaving them free would slice
+        # alpha into the free-rate vector in _neg_lnl_ratehmm.
+        est_alpha = False
+        spec = dc_replace(spec, fix_alpha=True, fix_rho=True, rho=0.0)
     nalpha = (G if (est_alpha and spec.Malpha) else (1 if est_alpha else 0))
     adg = (not spec.fix_rho) or spec.rho > 0
-    nparK = spec.nparK
     if (adg or nparK) and G > 1:
         raise ValueError("AdG/nparK rate models need a single gene")
     est_rho = adg and not spec.fix_rho

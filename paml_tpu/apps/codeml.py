@@ -695,8 +695,14 @@ AADIST_FILES = {1: "grantham", 2: "miyata", 3: "g1974c", 4: "g1974p",
 def parse_omega_aa(text: str, graph) -> np.ndarray:
     """Parse OmegaAA.dat (reference: GetOmegaAA, src/codeml.c:4079):
     returns (n_omega, class index per aa pair [20, 20]).  Class 0 is the
-    background; a leading -1 requests the general model (one omega per
-    one-step aa pair)."""
+    background.
+
+    The reference parses the file as a *stream*: the first integer is the
+    number of omega classes ncls; exactly ncls-1 class lines follow, each
+    `i: PAIRS...`, and NOTHING after them is read (the trailing `0: all
+    others` line and any commentary after `// End of File` are never
+    consumed).  An out-of-range ncls (<1 or >64, e.g. -1) selects the
+    general model: one independent omega per one-step aa pair."""
     from ..constants import AA_ORDER
     one_step = np.zeros((20, 20), dtype=bool)
     aa_i = graph.aa[graph.pi_idx]
@@ -704,10 +710,18 @@ def parse_omega_aa(text: str, graph) -> np.ndarray:
     ns = aa_i != aa_j
     one_step[aa_i[ns], aa_j[ns]] = True
     one_step |= one_step.T
-    toks = text.split()
-    ncls = int(toks[0])
+    import re as _re
+    int_re = _re.compile(r"\s*(-?\d+)")
+
+    def read_int(pos):
+        m = int_re.match(text, pos)
+        if not m:
+            raise ValueError("OmegaAA.dat: expected an integer")
+        return int(m.group(1)), m.end()
+
+    ncls, pos = read_int(0)
     cls = np.zeros((20, 20), dtype=np.int64)
-    if ncls == -1:                    # general model: one w per 1-step pair
+    if ncls < 1 or ncls > 64:         # general model: one w per 1-step pair
         k = 0
         for i in range(20):
             for j in range(i):
@@ -715,18 +729,40 @@ def parse_omega_aa(text: str, graph) -> np.ndarray:
                     cls[i, j] = cls[j, i] = k
                     k += 1
         return k, cls
-    import re as _re
-    for m in _re.finditer(r"(\d+)\s*:\s*([A-Za-z ]+)", text):
-        ic = int(m.group(1))
-        if ic == 0 or ic >= ncls:
-            continue
-        for pair in m.group(2).split():
-            if len(pair) != 2:
+    for iomega in range(1, ncls):     # file declares classes 1..ncls-1
+        j, pos = read_int(pos)
+        if j != iomega:
+            raise ValueError(
+                f"err data file OmegaAA.dat: expected class {iomega}, "
+                f"got {j}")
+        if pos >= len(text) or text[pos] != ":":
+            raise ValueError("OmegaAA.dat: expected ':' after class number")
+        pos += 1
+        eol = text.find("\n", pos)
+        line = text[pos:] if eol < 0 else text[pos:eol]
+        pos = len(text) if eol < 0 else eol + 1
+        i = 0
+        while i < len(line):
+            if not line[i].isalpha():
+                i += 1
                 continue
-            a, b = AA_ORDER.index(pair[0].upper()), AA_ORDER.index(pair[1].upper())
+            if i + 1 >= len(line) or not line[i + 1].isalpha():
+                raise ValueError("OmegaAA.dat: dangling aa in pair")
+            try:
+                a = AA_ORDER.index(line[i].upper())
+                b = AA_ORDER.index(line[i + 1].upper())
+            except ValueError:
+                raise ValueError(
+                    f"OmegaAA.dat: aa not found in pair {line[i:i+2]!r}")
+            i += 2
+            if a == b:
+                continue              # "This pair has no effect"
             if not one_step[a, b]:
                 continue              # unreachable in one step: ignored
-            cls[a, b] = cls[b, a] = ic
+            if cls[a, b]:
+                raise ValueError(
+                    f"OmegaAA.dat: pair {line[i-2:i]!r} already specified")
+            cls[a, b] = cls[b, a] = iomega
     return ncls, cls
 
 
@@ -1035,16 +1071,26 @@ def fit_aa_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
 def _fit_aadist(data, topo, spec, dtype=jnp.float64) -> CodemlResult:
     neg_lnl, unpack, x0, bounds, pi_np = make_aadist_objective(
         data, topo, spec, dtype)
-    # omega-parameter surfaces here are mildly multimodal; a few spread
-    # starts mirror the reference's rerun-with-new-initials advice
-    n_pom = len(x0) - len(topo.branch_nodes()) - (
-        0 if spec.fix_kappa else (5 if spec.hkyREV else 1))
+    # the (kappa, omega-class) surface is multimodal — e.g. mtCDNAape
+    # aaDist=7 has a kappa->bound local optimum ~900 lnL below the global
+    # one; spread starts over both axes mirror the reference's
+    # rerun-with-new-initials advice
+    nb_ = len(topo.branch_nodes())
+    nkap = 0 if spec.fix_kappa else (5 if spec.hkyREV else 1)
+    n_pom = len(x0) - nb_ - nkap
     multi = []
-    for scale in (0.3, 3.0):
-        st = x0.copy()
-        st[-n_pom:] = np.asarray(x0[-n_pom:]) * scale
-        multi.append(np.clip(st, [b[0] for b in bounds],
-                             [b[1] for b in bounds]))
+    kap_starts = ([None] if spec.fix_kappa or spec.hkyREV
+                  else [None, 5.0, 20.0])
+    for kap in kap_starts:
+        for scale in (1.0, 0.1, 3.0):
+            if kap is None and scale == 1.0:
+                continue               # that's x0 itself
+            st = x0.copy()
+            if kap is not None:
+                st[nb_] = kap
+            st[-n_pom:] = np.asarray(x0[-n_pom:]) * scale
+            multi.append(np.clip(st, [b[0] for b in bounds],
+                                 [b[1] for b in bounds]))
     res = maximize(neg_lnl, x0, bounds, multi_start=multi)
     t, kappa, pom = unpack(jnp.asarray(res.x))
     return CodemlResult(

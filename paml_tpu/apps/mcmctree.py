@@ -978,6 +978,9 @@ class McmcSpec:
     cleandata: bool = False
     transform: str = "arcsin"
     finetune: tuple = (0.1, 0.1, 0.1, 0.1, 0.1)
+    lnL_beta: float = 1.0          # BayesFactorBeta power-posterior beta
+    # (reference: stepping-stones / thermodynamic integration,
+    #  mcmctree.c BayesFactorBeta option; 1.0 = ordinary posterior)
 
 
 class _Bactrian:
@@ -1172,11 +1175,12 @@ class MCMCTree:
             return 0.0
         if isinstance(self.loci[locus_i], MorphLocus):
             m = self.loci[locus_i]
-            return lnL_morph_F73(st.topo, b, m.z, m.popvar, m.ldetRm)
+            return (lnL_morph_F73(st.topo, b, m.z, m.popvar, m.ldetRm)
+                    * spec.lnL_beta)
         if spec.usedata == 2:
             bl = rooted_to_unrooted_blens(st, b, self.branch_orders[locus_i])
-            return approx_lnL(self.loci[locus_i], bl)
-        return self._exact_lnL(locus_i, b)
+            return approx_lnL(self.loci[locus_i], bl) * spec.lnL_beta
+        return self._exact_lnL(locus_i, b) * spec.lnL_beta
 
     def _exact_lnL(self, locus_i: int, b_by_node: dict) -> float:
         """usedata=1: exact likelihood on the rooted tree."""
@@ -1287,7 +1291,8 @@ class MCMCTree:
                     spec.clock, l)
                 for i, v in b.items():
                     blv[l, i] = v
-            return self._exact_batch(blv, self.kappa, self.alpha_g)
+            return (self._exact_batch(blv, self.kappa, self.alpha_g)
+                    * self.spec.lnL_beta)
         return np.array([self.lnL_locus(i) for i in range(self.g)])
 
     # -- MCMC ----------------------------------------------------------
@@ -1715,12 +1720,12 @@ def main(argv):
     run_ctl(opts, path)
 
 
-def run_ctl(opts: dict, ctl_path: str, progress=True):
+def run_ctl(opts: dict, ctl_path: str, progress=True, dry_run=False):
     import re as _re
 
     from ..io import ctl as ctlmod
 
-    g = lambda k, d=None: opts.get(k, d)
+    g = ctlmod.OptReader(opts, "mcmctree", ctlmod.MCMCTREE_OPTS)
     seqfile = ctlmod.resolve_path(ctl_path, g("seqfile"))
     treefile = ctlmod.resolve_path(ctl_path, g("treefile"))
     ndata = int(float(g("ndata", "1").split()[0]))
@@ -1749,7 +1754,26 @@ def run_ctl(opts: dict, ctl_path: str, progress=True):
         nsample=int(float(g("nsample", "10000"))),
         cleandata=bool(int(float(g("cleandata", "0")))),
         seed=abs(int(float(g("seed", "12345")))) or 12345,
+        lnL_beta=float(g("BayesFactorBeta", "1")),
     )
+    ft = [float(v) for v in _re.findall(r"[\d.eE+-]+",
+                                        str(g("finetune", "")))]
+    if len(ft) >= 5:
+        # 'finetune = 0: .1 .1 ...' — leading 0/1 toggles auto-adjust
+        spec.finetune = tuple(ft[-5:])
+    g("print")         # sample-verbosity flag; summaries always written
+    g("aaRatefile")    # inert for nucleotide dating
+    g("icode")
+    g.require_off("seqtype", "amino-acid/codon alignments in mcmctree "
+                  "(usedata=2 with a codeml-generated in.BV covers this)",
+                  off=(0,))
+    # consumed later in this function; mark now so validation fails fast
+    for _k in ("checkpoint", "mcmcfile", "outfile", "duplication",
+               "pfossilerror", "fossilerror", "TipDate"):
+        g(_k)
+    g.finish()
+    if dry_run:            # option-validation only (ctl sweep tests)
+        return spec
     alns = seqio.read_alignments(seqfile, seqio.BASE_SEQ, ndata)
     names = alns[0].names
     trees = treeio.read_trees(treefile, names)
@@ -1758,7 +1782,7 @@ def run_ctl(opts: dict, ctl_path: str, progress=True):
                             multiplicative=spec.multiplicative,
                             duplication=bool(int(float(
                                 g("duplication", "0")))))
-    pfe = str(g("pfossilerror", "0")).split()
+    pfe = str(g("pfossilerror", g("fossilerror", "0"))).split()
     if pfe and float(pfe[0]) > 0:
         st.pfossilerror = tuple(float(v) for v in pfe[:3]) \
             if len(pfe) >= 3 else (float(pfe[0]),

@@ -29,6 +29,109 @@ def read_ctl(path: str) -> dict:
     return opts
 
 
+# Reference option vocabularies (GetOptions tables).  Keys are matched
+# like the reference: strncmp over the first 8 characters
+# (src/codeml.c:1730, src/baseml.c:992, src/mcmctree.c:1523).
+CODEML_OPTS = (
+    "seqfile", "outfile", "treefile", "seqtype", "noisy", "ndata",
+    "cleandata", "runmode", "method", "clock", "TipDate", "getSE",
+    "RateAncestor", "CodonFreq", "estFreq", "verbose", "model", "hkyREV",
+    "aaDist", "aaRatefile", "NSsites", "NShmm", "icode", "Mgene",
+    "fix_kappa", "kappa", "fix_omega", "omega", "fix_alpha", "alpha",
+    "Malpha", "ncatG", "fix_rho", "rho", "bootstrap", "Small_Diff",
+    "fix_blength")        # src/codeml.c:1698-1704
+BASEML_OPTS = (
+    "seqfile", "outfile", "treefile", "noisy", "ndata", "cleandata",
+    "verbose", "runmode", "method", "clock", "TipDate", "fix_rgene",
+    "Mgene", "nhomo", "getSE", "RateAncestor", "model", "fix_kappa",
+    "kappa", "fix_alpha", "alpha", "Malpha", "ncatG", "fix_rho", "rho",
+    "nparK", "bootstrap", "Small_Diff", "icode", "fix_blength",
+    "seqtype")            # src/baseml.c:958-962
+MCMCTREE_OPTS = (
+    "seed", "seqfile", "treefile", "outfile", "mcmcfile", "checkpoint",
+    "BayesFactorBeta", "seqtype", "aaRatefile", "icode", "noisy",
+    "usedata", "ndata", "duplication", "model", "clock", "TipDate",
+    "RootAge", "fossilerror", "pfossilerror", "alpha", "ncatG",
+    "cleandata", "BDparas", "kappa_gamma", "alpha_gamma", "rgene_gamma",
+    "sigma2_gamma", "print", "burnin", "sampfreq", "nsample",
+    "finetune")           # src/mcmctree.c:1499-1503
+YN00_OPTS = (
+    "seqfile", "outfile", "verbose", "noisy", "icode", "weighting",
+    "commonkappa", "commonf3x4", "ndata")   # src/yn00.c:189-190
+
+# keys that only control console verbosity / numeric epsilon; accepted
+# and ignored in every program
+_COSMETIC = ("noisy", "verbose", "Small_Diff")
+
+
+class CtlError(ValueError):
+    """An unrecognized or unsupported control-file option (the reference
+    exits: 'option %s not recognised', src/codeml.c:1833)."""
+
+
+def _match_opt(key: str, vocab) -> str | None:
+    """Reference-style option matching: first 8 chars (strncmp ..., 8)."""
+    for w in vocab:
+        if key[:8] == w[:8]:
+            return w
+    return None
+
+
+class OptReader:
+    """Tracks which ctl keys a *_spec function consumed so leftovers can
+    be rejected loudly instead of silently fitting a different model."""
+
+    def __init__(self, opts: dict, program: str, vocab):
+        self.opts = opts
+        self.program = program
+        self.vocab = vocab
+        self.used: set[str] = set()
+
+    def __call__(self, key, default=None):
+        self.used.add(key[:8])
+        return self.opts.get(key, self._prefix_get(key, default))
+
+    def _prefix_get(self, key, default):
+        for k, v in self.opts.items():
+            if k[:8] == key[:8]:
+                return v
+        return default
+
+    def require_off(self, key, what: str, off=(0,)):
+        """Consume `key`; raise if its value requests behavior we don't
+        implement (reference semantics would differ silently otherwise)."""
+        v = self(key)
+        if v is None:
+            return
+        try:
+            val = _first_num(str(v))
+        except Exception:
+            raise CtlError(f"{self.program}: cannot parse option "
+                           f"'{key} = {v}'")
+        if val not in off:
+            raise CtlError(
+                f"{self.program}: option '{key} = {v}' requests {what}, "
+                f"which paml_tpu does not implement; refusing to fit a "
+                f"different model silently")
+
+    def finish(self):
+        """Raise on unrecognized keys and on recognized keys that no code
+        path consumed (a consumption bug would otherwise silently change
+        the model, like the reference's aaDist/nhomo bug class)."""
+        for k in self.opts:
+            w = _match_opt(k, self.vocab)
+            if w is None:
+                raise CtlError(f"option {k!r} in the {self.program} ctl "
+                               f"file not recognised")
+            if k[:8] not in self.used and w not in _COSMETIC:
+                raise CtlError(
+                    f"{self.program}: option {k!r} is recognised but not "
+                    f"consumed by paml_tpu (refusing to ignore it "
+                    f"silently)")
+        for w in _COSMETIC:
+            self.used.add(w[:8])
+
+
 def _num(v: str):
     try:
         return int(v)
@@ -110,7 +213,7 @@ def baseml_spec(opts: dict, ctl_path: str):
     """Build (BasemlSpec, seqfile, treefile, outfile, extras) from ctl."""
     from ..apps.baseml import BasemlSpec
 
-    g = lambda k, d=None: opts.get(k, d)
+    g = OptReader(opts, "baseml", BASEML_OPTS)
     model_raw = str(g("model", "0"))
     model_i = int(_first_num(model_raw))
     spec = BasemlSpec(
@@ -141,6 +244,13 @@ def baseml_spec(opts: dict, ctl_path: str):
     if td and int(float(td[0])):
         spec.tipdate = True
         spec.tipdate_timeunit = float(td[1]) if len(td) > 1 else None
+    if spec.nparK >= 1:
+        # the reference coerces the rate-class HMM to fix alpha and rho
+        # (src/baseml.c:1077): the nparK likelihood never uses them, and
+        # leaving them free would silently mis-slice the free-rate vector
+        spec.fix_alpha = True
+        spec.fix_rho = True
+        spec.rho = 0.0
     if (spec.ncatG > 1 and spec.fix_alpha and spec.alpha == 0
             and not spec.nparK and spec.fix_rho and spec.rho == 0):
         # alpha=0 fixed means no rate variation (reference semantics);
@@ -154,6 +264,15 @@ def baseml_spec(opts: dict, ctl_path: str):
         "method": int(_first_num(g("method", "0"))),
         "nhomo": spec.nhomo,
     }
+    g("icode")      # display-only (codon translation in rst output)
+    g("seqfile"), g("treefile"), g("outfile")
+    g.require_off("fix_blength", "fixed/proportional branch lengths in "
+                  "baseml", off=(0, 1, -1))
+    g.require_off("seqtype", "non-nucleotide baseml data types (5 RNA "
+                  "editing / 4 binary)", off=(0,))
+    g.require_off("fix_rgene", "fixed user-supplied gene rates")
+    g.require_off("bootstrap", "bootstrap resampling output")
+    g.finish()
     return (spec, resolve_path(ctl_path, g("seqfile")),
             resolve_path(ctl_path, g("treefile", "")),
             g("outfile", "mlb"), extras)
@@ -162,7 +281,7 @@ def baseml_spec(opts: dict, ctl_path: str):
 def codeml_spec(opts: dict, ctl_path: str):
     from ..apps.codeml import CodemlSpec
 
-    g = lambda k, d=None: opts.get(k, d)
+    g = OptReader(opts, "codeml", CODEML_OPTS)
     seqtype = int(_first_num(g("seqtype", "1")))
     aa_model_i = int(_first_num(g("model", "0")))
     spec = CodemlSpec(
@@ -185,7 +304,16 @@ def codeml_spec(opts: dict, ctl_path: str):
         Mgene=int(_first_num(g("Mgene", "0"))),
         clock=int(_first_num(g("clock", "0"))),
         fix_blength=int(_first_num(g("fix_blength", "0"))),
+        aaDist=int(_first_num(g("aaDist", "0"))),
     )
+    if spec.aaDist == 7 and seqtype == 1:
+        # AAClasses reads OmegaAA.dat; the reference opens it from the
+        # working directory (GetOmegaAA, src/codeml.c:4090) — example ctls
+        # keep it next to the ctl file
+        spec.omegaAA = resolve_path(ctl_path, "OmegaAA.dat")
+    elif spec.aaDist and seqtype != 1:
+        raise CtlError("codeml: aaDist with seqtype=2 (amino-acid "
+                       "distance/class models) is not implemented")
     if seqtype in (2, 3):
         names = {0: "Poisson", 1: "EqualInput", 2: "Empirical",
                  3: "Empirical_F", 5: "FromCodon0", 6: "FromCodon",
@@ -203,18 +331,35 @@ def codeml_spec(opts: dict, ctl_path: str):
         "ndata_mode": _ndata_mode(g("ndata", "1")),
         "NSsites_list": ns_list,
         "RateAncestor": int(_first_num(g("RateAncestor", "0"))),
+        "method": int(_first_num(g("method", "0"))),
     }
+    g("aaRatefile")   # FromCodon/Empirical rate file (consumed above or n/a)
+    g("seqfile"), g("treefile"), g("outfile")
+    g.require_off("TipDate", "tip-date (serial-sample) dating in codeml "
+                  "(use baseml or mcmctree)")
+    g.require_off("NShmm", "the experimental NShmm site-class HMM")
+    g.require_off("Malpha", "per-gene alpha values in codeml")
+    g.require_off("fix_rho", "auto-discrete-gamma rates in codeml",
+                  off=(1,))
+    g.require_off("rho", "auto-discrete-gamma rates in codeml",
+                  off=(0,))
+    g.require_off("bootstrap", "bootstrap resampling output")
+    g.finish()
     return (spec, resolve_path(ctl_path, g("seqfile")),
             resolve_path(ctl_path, g("treefile", "")),
             g("outfile", "mlc"), extras)
 
 
 def yn00_opts(opts: dict, ctl_path: str):
-    g = lambda k, d=None: opts.get(k, d)
-    return dict(
+    g = OptReader(opts, "yn00", YN00_OPTS)
+    out = dict(
         seqfile=resolve_path(ctl_path, g("seqfile")),
         outfile=g("outfile", "yn"),
         icode=int(_first_num(g("icode", "0"))),
         weighting=bool(int(_first_num(g("weighting", "0")))),
         common_f3x4=bool(int(_first_num(g("commonf3x4", "0")))),
+        ndata=int(_first_num(g("ndata", "1"))),
     )
+    g.require_off("commonkappa", "a shared kappa across pairs")
+    g.finish()
+    return out

@@ -399,8 +399,9 @@ def mutation_dense(graph: CodonGraph, kappa, pf3x4=None,
         pf = jnp.asarray(pf3x4, dtype)
         f1 = pf[jnp.asarray(T["up0"]), jnp.asarray(T["un0"])]
         f2 = pf[jnp.asarray(T["up1"]), jnp.asarray(T["un1"])]
-        # off-pair cells divide by pf[0,0]^2 but s is 0 there already
-        s = s / (f1 * f2)
+        # off-pair cells have s == 0 but would divide 0/0 -> NaN when a
+        # position frequency is exactly zero; clamp the denominator
+        s = s / jnp.maximum(f1 * f2, jnp.finfo(dtype).tiny)
     return s
 
 

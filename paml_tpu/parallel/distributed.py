@@ -30,11 +30,15 @@ def initialize(coordinator_address: str | None = None,
     # NOTE: do not probe jax.process_count() here — it initializes the
     # XLA backend, after which jax.distributed.initialize refuses to run
     try:
-        from jax._src.distributed import global_state
-        if getattr(global_state, "client", None) is not None:
+        if jax.distributed.is_initialized():
             return                 # already joined
-    except ImportError:  # pragma: no cover - private API moved
-        pass
+    except AttributeError:         # older JAX: fall back to private state
+        try:
+            from jax._src.distributed import global_state
+            if getattr(global_state, "client", None) is not None:
+                return
+        except ImportError:  # pragma: no cover - private API moved
+            pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

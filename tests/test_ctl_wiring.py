@@ -27,15 +27,28 @@ def test_nhomo_ctls_parse_to_nhomo_spec():
     assert spec5.nhomo == 5 and spec5.fix_kappa == 2
 
 
-def test_npark_rho_parse(tmp_path):
+def test_npark_coerces_alpha_rho_fixed(tmp_path):
+    """nparK models never use alpha/rho; the reference forces them fixed
+    (src/baseml.c:1077).  Leaving them free silently mis-sliced the
+    free-rate vector (round-4 advisor finding)."""
     p = tmp_path / "b.ctl"
     p.write_text("seqfile = x\ntreefile = y\nmodel = 4\nncatG = 3\n"
                  "nparK = 2\nfix_rho = 0\nrho = 0.1\nfix_alpha = 0\n"
                  "alpha = 0.5\n")
     spec, *_ = _spec(str(p))
-    assert spec.nparK == 2 and not spec.fix_rho
-    assert spec.rho == pytest.approx(0.1)
+    assert spec.nparK == 2
+    assert spec.fix_rho and spec.rho == 0.0
+    assert spec.fix_alpha
     assert spec.ncatG == 3          # not collapsed for nparK/AdG models
+
+
+def test_adg_rho_still_free_without_npark(tmp_path):
+    p = tmp_path / "b.ctl"
+    p.write_text("seqfile = x\ntreefile = y\nmodel = 4\nncatG = 5\n"
+                 "fix_rho = 0\nrho = 0.1\nfix_alpha = 0\nalpha = 0.5\n")
+    spec, *_ = _spec(str(p))
+    assert not spec.fix_rho and spec.rho == pytest.approx(0.1)
+    assert not spec.fix_alpha
 
 
 def test_stepmatrix_parse():
