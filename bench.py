@@ -156,7 +156,7 @@ def _parity_configs():
                 treeio.read_trees(f"{REF}/{treefile}", data.names)[0],
                 data.names)
             spec = CodemlSpec(cleandata=True, **kw)
-            res = fit_packed(data, topo, spec)
+            res = fit_packed(data, topo, spec, dtype=jnp.float64)
             neg64, *_ = make_codon_objective(data, topo, spec,
                                              dtype=jnp.float64)
             neg32, *_ = make_codon_objective(data, topo, spec,
@@ -178,7 +178,7 @@ def _parity_configs():
                 treeio.read_trees(f"{REF}/{treefile}", data.names)[0],
                 data.names)
             spec = BasemlSpec(cleandata=True, **kw)
-            res = fit_packed(data, topo, spec)
+            res = fit_packed(data, topo, spec, dtype=jnp.float64)
             neg64, *_ = make_objective(data, topo, spec,
                                        dtype=jnp.float64)
             neg32, *_ = make_objective(data, topo, spec,
@@ -261,11 +261,14 @@ def parity_main():
             row["tpu_f32_lnL"] = round(v32_tpu, 6)
             row["tpu_f32_rel"] = round(abs(v32_tpu - v64) / abs(v64), 10)
             row["tpu_grad_finite"] = gfinite
-            # 1.2e-5: observed f32 envelope across the golden set (max
+            # 1e-5: the SURVEY section-7 parity bar (restored from the
+            # temporarily widened 1.2e-5 after the pmat HIGH-precision
+            # change tightened the envelope; VERDICT r4 weak #7)
+            # historical note: observed f32 envelope across the set (max
             # 1.04e-5 on M2a; eps32 ~ 1.2e-7 accumulated over ~1e2
             # dependent ops).  The LRT-cancellation check below is the
             # inference-grade assertion (Delta lnL within 0.01).
-            row["pass"] = (row["tpu_f32_rel"] <= 1.2e-5 and gfinite)
+            row["pass"] = (row["tpu_f32_rel"] <= 1e-5 and gfinite)
             lnls_tpu[name] = v32_tpu
             import sys
             print(f"# parity {name}: tpu_f32_rel="

@@ -170,28 +170,35 @@ def run_baseml(ctl_path: str) -> None:
                     out.write(f"  set {k + 1}: "
                               + " ".join(f"{v:.5f}" for v in p4) + "\n")
                 continue
-            # side outputs when the single-gene hooks exist
-            neg, unpack, x0b, bb = baseml.make_objective(data, topo, spec)
+            # side outputs when the single-gene hooks exist (one-shot
+            # f64 evaluations -> host CPU; chip is for the f32 fits)
             import jax.numpy as jnp
-            xj = jnp.asarray(res.x)
-            if hasattr(neg, "site_loglik"):
-                site_lnf_trees.append(np.asarray(neg.site_loglik(xj)))
-            if (rate_ancestor and hasattr(neg, "class_posterior")
-                    and itree == 0):
-                post, r, w = neg.class_posterior(xj)
-                if np.asarray(r).shape[0] > 1:
-                    write_rates("rates", 0, np.asarray(r), np.asarray(w),
-                                data.site_pattern, np.asarray(post),
-                                data.fpatt)
-                from .apps.ancestral import marginal_reconstruction
-                P, piC, w2, _ = neg.model_at(xj)
-                best, prob, _p = marginal_reconstruction(
-                    P, data.tip_partials, topo, piC, w2, data.fpatt)
-                letters = "TCAG"
-                node_ids = [i + 1 for i in range(topo.ns, topo.nnode)]
-                best_txt = [[letters[s] for s in row] for row in best]
-                write_rst_ancestral(frst, data.names, node_ids, best_txt,
-                                    prob, data.site_pattern)
+            with jax.default_device(jax.devices("cpu")[0]):
+                neg, unpack, x0b, bb = baseml.make_objective(data, topo,
+                                                             spec)
+                xj = jnp.asarray(res.x)
+                if hasattr(neg, "site_loglik"):
+                    site_lnf_trees.append(
+                        np.asarray(neg.site_loglik(xj)))
+                if (rate_ancestor and hasattr(neg, "class_posterior")
+                        and itree == 0):
+                    post, r, w = neg.class_posterior(xj)
+                    if np.asarray(r).shape[0] > 1:
+                        write_rates("rates", 0, np.asarray(r),
+                                    np.asarray(w), data.site_pattern,
+                                    np.asarray(post), data.fpatt)
+                    from .apps.ancestral import marginal_reconstruction
+                    P, piC, w2, _ = neg.model_at(xj)
+                    best, prob, _p = marginal_reconstruction(
+                        P, data.tip_partials, topo, piC, w2, data.fpatt)
+                    letters = "TCAG"
+                    node_ids = [i + 1
+                                for i in range(topo.ns, topo.nnode)]
+                    best_txt = [[letters[s] for s in row]
+                                for row in best]
+                    write_rst_ancestral(frst, data.names, node_ids,
+                                        best_txt, prob,
+                                        data.site_pattern)
             print(f"tree {itree + 1}: lnL = {res.lnL:.6f}")
         if site_lnf_trees:
             write_lnf("lnf", data.ls, data.fpatt, site_lnf_trees)
@@ -278,16 +285,20 @@ def run_codeml(ctl_path: str) -> None:
         # 2ML.* matrices written like src/yn00.c:141-167)
         from .apps import pairwise as pw
         from .io.outputs import write_pairwise_matrix
-        if extras["runmode"] == -2:
-            res = pw.pairwise_codon(data, codonf=spec.codonf,
-                                    icode=spec.icode, kappa0=spec.kappa,
-                                    omega0=spec.omega,
-                                    fix_kappa=spec.fix_kappa)
-        else:
-            res = pw.bayes_pairwise_codon(data, codonf=spec.codonf,
-                                          icode=spec.icode,
-                                          kappa0=spec.kappa,
-                                          omega0=spec.omega)
+        # tiny 2-seq f64 fits: run on the host CPU even when the CLI
+        # defaults to the accelerator (emulated f64 would be slower)
+        with jax.default_device(jax.devices("cpu")[0]):
+            if extras["runmode"] == -2:
+                res = pw.pairwise_codon(data, codonf=spec.codonf,
+                                        icode=spec.icode,
+                                        kappa0=spec.kappa,
+                                        omega0=spec.omega,
+                                        fix_kappa=spec.fix_kappa)
+            else:
+                res = pw.bayes_pairwise_codon(data, codonf=spec.codonf,
+                                              icode=spec.icode,
+                                              kappa0=spec.kappa,
+                                              omega0=spec.omega)
         ns = data.ns
         mats = {q: np.zeros((ns, ns)) for q in ("t", "dS", "dN")}
         with open(outfile, "w") as out:
@@ -380,8 +391,11 @@ def run_codeml(ctl_path: str) -> None:
                         and sp.clock == 0 and sp.fix_blength != 2):
                     _write_branch_dnds(out, data, sp, res)
                 # side outputs on the first NSsites model (reference
-                # layout: one lnf per run; rst accumulates per model)
+                # layout: one lnf per run; rst accumulates per model).
+                # These are one-shot f64 evaluations: keep them on the
+                # host CPU (the accelerator path is f32-staged fits)
                 if sp.seqtype == 1 and not sp.aaDist:
+                  with jax.default_device(jax.devices("cpu")[0]):
                     neg, unpack, classes_for, *_r = \
                         codeml.make_codon_objective(data, topo, sp)
                     import jax.numpy as jnp
@@ -407,8 +421,9 @@ def run_codeml(ctl_path: str) -> None:
                 if (sp.seqtype == 1 and sp.model == 2 and ns_model == 2
                         and itree == 0):
                     # branch-site model A BEB (reference:
-                    # lfunNSsites_ACD, src/codeml.c:6827)
-                    acd = bebmod.beb_branchsite_A(data, topo, sp, res)
+                    # lfunNSsites_ACD, src/codeml.c:6827); f64 grid on CPU
+                    with jax.default_device(jax.devices("cpu")[0]):
+                        acd = bebmod.beb_branchsite_A(data, topo, sp, res)
                     post = acd["postSite"]
                     frst.write("\nBayes Empirical Bayes (BEB) "
                                "probabilities for 4 classes "
@@ -431,7 +446,8 @@ def run_codeml(ctl_path: str) -> None:
                             out.write(f"{s_i + 1:6d} {pp:.3f}{sig}\n")
                 if (sp.seqtype == 1 and sp.model == 0
                         and ns_model in (2, 8) and itree == 0):
-                    spbeb = bebmod.beb(data, topo, sp, res)
+                    with jax.default_device(jax.devices("cpu")[0]):
+                        spbeb = bebmod.beb(data, topo, sp, res)
                     sites = bebmod.positive_sites(data, spbeb, 0.5)
                     out.write("BEB positively selected sites "
                               "(P>0.5; * P>0.95, ** P>0.99):\n")
@@ -717,20 +733,24 @@ def run_chi2(args: list[str]) -> None:
             print(f"{df:3d}  {row}")
 
 
-def _init_jax_backend() -> None:
+def _init_jax_backend(want_accel: bool = False) -> None:
     """Pick the CLI compute device.
 
-    The ctl front ends run the float64 parity path; f64 on TPU is
-    EMULATED (slow, and numerically fragile for the stiff codon models —
-    an FMutSel fit NaNs out), so the CLI defaults to CPU.  Set
-    PAML_TPU_CLI_DEVICE=tpu to opt in to the accelerator (f32-dominant
-    workloads; the library API and bench.py target the TPU directly)."""
+    The ML fit programs (codeml/baseml/basemlg) default to the
+    accelerator when one is attached: fits run the staged policy
+    (optim.maximize_policy) — f32 value+grad on the chip (native fast
+    path) with a float64 polish on the host CPU from the f32 optimum.
+    Emulated f64 on TPU is never used for a hot path (slow and
+    numerically fragile for stiff codon models).  Programs whose inner
+    loops are still f64 (mcmctree, yn00, evolver, ...) pin to CPU.
+    PAML_TPU_CLI_DEVICE=cpu|tpu overrides either default."""
     import os
 
     import jax
 
-    dev = os.environ.get("PAML_TPU_CLI_DEVICE", "cpu").lower()
-    if dev != "tpu":
+    dev = os.environ.get("PAML_TPU_CLI_DEVICE", "auto").lower()
+    use_accel = (dev == "tpu") or (dev == "auto" and want_accel)
+    if not use_accel:
         jax.config.update("jax_platforms", "cpu")
     try:
         jax.devices()
@@ -744,7 +764,13 @@ def main(argv: list[str] | None = None) -> None:
     if not argv:
         print(__doc__)
         return
-    _init_jax_backend()
+    prog = argv[0]
+    _init_jax_backend(want_accel=prog in ("codeml", "baseml", "basemlg"))
+    if prog in ("codeml", "baseml", "basemlg"):
+        # multi-device hosts: shard the pattern axis across all chips
+        # (single-device hosts: no-op)
+        from .parallel.sharding import engage_auto_mesh
+        engage_auto_mesh()
     prog, *rest = argv
     if prog == "baseml":
         run_baseml(rest[0] if rest else "baseml.ctl")

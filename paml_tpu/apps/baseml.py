@@ -22,7 +22,7 @@ import numpy as np
 
 from ..core import pruning
 from ..core.dgamma import discrete_gamma
-from ..core.optim import FitResult, maximize
+from ..core.optim import FitResult, maximize, maximize_auto
 from ..core.topology import Topology, from_treenode
 from ..io import seqio, treeio
 from ..models import nuc
@@ -631,9 +631,13 @@ def fit(seqfile: str, treefile: str, spec: BasemlSpec | None = None,
 
 
 def fit_packed(data: seqio.PackedData, topo: Topology,
-               spec: BasemlSpec, dtype=jnp.float64) -> BasemlResult:
+               spec: BasemlSpec, dtype=None) -> BasemlResult:
+    from ..parallel.sharding import maybe_pad_packed
+    data = maybe_pad_packed(data)
     if spec.nhomo:
         return _fit_nhomo(data, topo, spec, dtype)
+    exp_dtype = dtype
+    dtype = jnp.float64 if dtype is None else dtype
     neg_lnl, unpack, x0, bounds = make_objective(data, topo, spec, dtype)
     multi = None
     if spec.nparK:
@@ -663,7 +667,9 @@ def fit_packed(data: seqio.PackedData, topo: Topology,
                     if i < K - 1:
                         s[mk0 + i * (K - 1) + i] = 2.5
                 multi.append(s)
-    res = maximize(neg_lnl, x0, bounds, multi_start=multi)
+    res = maximize_auto(
+        lambda dt: make_objective(data, topo, spec, dt)[0],
+        neg_lnl, x0, bounds, multi_start=multi, explicit_dtype=exp_dtype)
     t, rgene, rates, alpha = unpack(jnp.asarray(res.x))
     branch_nodes = topo.branch_nodes()
     ses = None
@@ -701,7 +707,9 @@ def fit_separate(seqfile: str, treefile: str, spec: BasemlSpec,
     return results
 
 
-def _fit_nhomo(data, topo, spec, dtype=jnp.float64):
+def _fit_nhomo(data, topo, spec, dtype=None):
+    exp_dtype = dtype
+    dtype = jnp.float64 if dtype is None else dtype
     neg_lnl, unpack, x0, bounds = make_nhomo_objective(data, topo, spec,
                                                        dtype)
     # nonhomogeneous surfaces are multimodal (per-branch pis can trade
@@ -718,7 +726,9 @@ def _fit_nhomo(data, topo, spec, dtype=jnp.float64):
             s[:nb] = np.maximum(s[:nb] * scale, BLEN_MIN * 2)
             s[nb:] += rng.normal(0, 0.4, len(s) - nb)
             multi.append(s)
-    res = maximize(neg_lnl, x0, bounds, multi_start=multi)
+    res = maximize_auto(
+        lambda dt: make_nhomo_objective(data, topo, spec, dt)[0],
+        neg_lnl, x0, bounds, multi_start=multi, explicit_dtype=exp_dtype)
     t, rates, pis = unpack(jnp.asarray(res.x))
     return BasemlResult(
         lnL=res.lnL, blens=np.asarray(t),

@@ -20,7 +20,8 @@ import numpy as np
 
 from ..core import pruning
 from ..core.dgamma import betaincinv, gammaincinv
-from ..core.optim import FitResult, maximize, simplex_decode, simplex_encode
+from ..core.optim import (FitResult, maximize, maximize_auto,
+                          simplex_decode, simplex_encode)
 from ..core.pmat import pmat_rev, pmat_rev_multi
 from ..core.topology import Topology, from_treenode
 from ..io import seqio, treeio
@@ -1043,11 +1044,15 @@ def make_fromcodon0_objective(data: seqio.PackedData, topo: Topology,
 
 
 def fit_aa_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
-                  dtype=jnp.float64) -> CodemlResult:
+                  dtype=None) -> CodemlResult:
+    exp_dtype = dtype
+    dtype = jnp.float64 if dtype is None else dtype
     if spec.aa_model == "FromCodon0":
         neg_lnl, unpack, x0, bounds, pi_np = \
             make_fromcodon0_objective(data, topo, spec, dtype)
-        res = maximize(neg_lnl, x0, bounds)
+        res = maximize_auto(
+            lambda dt: make_fromcodon0_objective(data, topo, spec, dt)[0],
+            neg_lnl, x0, bounds, explicit_dtype=exp_dtype)
         t, kap, om = unpack(jnp.asarray(res.x))
         return CodemlResult(
             lnL=res.lnL, np=len(res.x), blens=np.asarray(t),
@@ -1057,7 +1062,9 @@ def fit_aa_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
             x=np.asarray(res.x), spec=spec)
     neg_lnl, unpack, x0, bounds, pi_np = \
         make_aa_objective(data, topo, spec, dtype)
-    res = maximize(neg_lnl, x0, bounds)
+    res = maximize_auto(
+        lambda dt: make_aa_objective(data, topo, spec, dt)[0],
+        neg_lnl, x0, bounds, explicit_dtype=exp_dtype)
     t, rates, alpha = unpack(jnp.asarray(res.x))
     kap = (np.asarray(rates) if spec.aa_model == "FromCodon"
            else np.zeros(0))
@@ -1068,7 +1075,9 @@ def fit_aa_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
         pi=pi_np, topo=topo, fit=res, x=np.asarray(res.x), spec=spec)
 
 
-def _fit_aadist(data, topo, spec, dtype=jnp.float64) -> CodemlResult:
+def _fit_aadist(data, topo, spec, dtype=None) -> CodemlResult:
+    exp_dtype = dtype
+    dtype = jnp.float64 if dtype is None else dtype
     neg_lnl, unpack, x0, bounds, pi_np = make_aadist_objective(
         data, topo, spec, dtype)
     # the (kappa, omega-class) surface is multimodal — e.g. mtCDNAape
@@ -1091,7 +1100,9 @@ def _fit_aadist(data, topo, spec, dtype=jnp.float64) -> CodemlResult:
             st[-n_pom:] = np.asarray(x0[-n_pom:]) * scale
             multi.append(np.clip(st, [b[0] for b in bounds],
                                  [b[1] for b in bounds]))
-    res = maximize(neg_lnl, x0, bounds, multi_start=multi)
+    res = maximize_auto(
+        lambda dt: make_aadist_objective(data, topo, spec, dt)[0],
+        neg_lnl, x0, bounds, multi_start=multi, explicit_dtype=exp_dtype)
     t, kappa, pom = unpack(jnp.asarray(res.x))
     return CodemlResult(
         lnL=res.lnL, blens=np.asarray(t),
@@ -1237,10 +1248,15 @@ def fit_mgene_separate(data: seqio.PackedData, topo: Topology,
 
 def fit_codon_mgene(data: seqio.PackedData, topo: Topology,
                     spec: CodemlSpec, Mgene: int,
-                    dtype=jnp.float64) -> CodemlResult:
+                    dtype=None) -> CodemlResult:
+    exp_dtype = dtype
+    dtype = jnp.float64 if dtype is None else dtype
     neg_lnl, unpack, x0, bounds, pis = make_codon_mgene_objective(
         data, topo, spec, Mgene, dtype)
-    res = maximize(neg_lnl, x0, bounds)
+    res = maximize_auto(
+        lambda dt: make_codon_mgene_objective(data, topo, spec, Mgene,
+                                              dt)[0],
+        neg_lnl, x0, bounds, explicit_dtype=exp_dtype)
     t, rgene, kaps, oms = unpack(jnp.asarray(res.x))
     return CodemlResult(
         lnL=res.lnL, np=len(res.x), blens=np.asarray(t),
@@ -1276,7 +1292,14 @@ def fit(seqfile: str, treefile: str, spec: CodemlSpec | None = None,
 
 
 def fit_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
-               dtype=jnp.float64) -> CodemlResult:
+               dtype=None) -> CodemlResult:
+    """Fit a codon model.  dtype=None selects the device policy: f64 on
+    a CPU-default session, staged f32-chip + f64-host-polish on TPU
+    (optim.maximize_policy).  When a pattern mesh is engaged
+    (parallel.sharding.engage_auto_mesh), the pattern axis is padded and
+    the likelihood shard_maps across devices."""
+    from ..parallel.sharding import maybe_pad_packed
+    data = maybe_pad_packed(data)
     if spec.seqtype in (2, 3):
         return fit_aa_packed(data, topo, spec, dtype)
     if spec.aaDist:
@@ -1286,6 +1309,8 @@ def fit_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
             raise ValueError("Mgene>0 with branch/NSsites models is not "
                              "supported (the reference zerrors too)")
         return fit_codon_mgene(data, topo, spec, spec.Mgene, dtype)
+    exp_dtype = dtype
+    dtype = jnp.float64 if dtype is None else dtype
     neg_lnl, unpack, classes_for, x0, bounds, pi_np = \
         make_codon_objective(data, topo, spec, dtype)
     multi = None
@@ -1297,7 +1322,7 @@ def fit_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
         # (src/codeml.c:2111-2122)
         from dataclasses import replace as _dc_replace
         res0 = fit_packed(data, topo, _dc_replace(spec, estFreq=False),
-                          dtype)
+                          exp_dtype)
         nb0 = len(topo.branch_nodes())
         nk0 = 0 if spec.fix_kappa else (5 if spec.hkyREV else 1)
         i2 = nb0 + nk0 + 3
@@ -1374,7 +1399,9 @@ def fit_packed(data: seqio.PackedData, topo: Topology, spec: CodemlSpec,
             s = x0.copy()
             s[-nth:] = th
             multi.append(s)
-    res = maximize(neg_lnl, x0, bounds, multi_start=multi)
+    res = maximize_auto(
+        lambda dt: make_codon_objective(data, topo, spec, dt)[0],
+        neg_lnl, x0, bounds, multi_start=multi, explicit_dtype=exp_dtype)
     xj = jnp.asarray(res.x)
     t, kappa, ppi, theta = unpack(xj)
     W, freqs, _ = classes_for(theta)

@@ -80,6 +80,16 @@ _MM_MODE = _os.environ.get("PAML_TPU_MM", "3pass")
 if _MM_MODE not in _MM_MODES:       # fail fast on typos (ADVICE r3)
     raise ValueError(f"PAML_TPU_MM={_MM_MODE!r}; expected one of "
                      f"{_MM_MODES}")
+# The backward (adjoint) kernel defaults to single-pass bf16: the VALUE
+# the optimizer line-searches on comes from the forward kernel (3pass,
+# f32-faithful), while search DIRECTIONS tolerate ~1e-3 relative gradient
+# noise — L-BFGS re-derives curvature from value differences and the CLI
+# polishes in f64 on the host.  Cuts the adjoint's 3x matmul volume to
+# 1x.  Override with PAML_TPU_BWD_MM=3pass for f32-faithful gradients.
+_BWD_MM = _os.environ.get("PAML_TPU_BWD_MM", "bf16")
+if _BWD_MM not in _MM_MODES:
+    raise ValueError(f"PAML_TPU_BWD_MM={_BWD_MM!r}; expected one of "
+                     f"{_MM_MODES}")
 
 
 def set_mm_mode(mode: str) -> None:
@@ -103,19 +113,21 @@ def _bf16_split(a):
     return hi, lo
 
 
-def mm_dot_general(a, b, dimension_numbers, exact=False):
+def mm_dot_general(a, b, dimension_numbers, exact=False, mode=None):
     """dot_general at the configured kernel matmul precision.
 
     exact=True (interpreter mode on CPU, where f32 dots are native) skips
-    the bf16 emulation passes."""
+    the bf16 emulation passes.  mode overrides the global _MM_MODE (the
+    backward kernel passes _BWD_MM)."""
+    mode = _MM_MODE if mode is None else mode
     if exact:
         return jax.lax.dot_general(a, b, dimension_numbers,
                                    preferred_element_type=jnp.float32)
-    if _MM_MODE == "6pass":
+    if mode == "6pass":
         return jax.lax.dot_general(
             a, b, dimension_numbers, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
-    if _MM_MODE == "bf16":
+    if mode == "bf16":
         return jax.lax.dot_general(
             a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
             dimension_numbers, preferred_element_type=jnp.float32)
@@ -177,6 +189,28 @@ class _Plan:
         # A_v (adjoint) reuses c_v's slot (identical liveness interval,
         # reversed); the root gets the extra slot nslots
         self.root_aslot = self.nslots
+        # sparse scaling: rescale only every k-th internal level along
+        # any root-ward path (the reference scales every ~15 tip
+        # descendants, SetNodeScale treesub.c:7177; scaling EVERY node is
+        # pure VPU overhead — max+div over [C, N, Ht] plus a log — and
+        # f32 partials shrink far too slowly to underflow within a few
+        # levels).  unscaled-depth recurrence guarantees every path
+        # rescales at least every k internal nodes.  The root always
+        # scales (its logm feeds the final log-likelihood directly).
+        k_scale = int(_os.environ.get("PAML_TPU_SCALE_EVERY", "4"))
+        self.all_internal = {v for v in order if v >= ns}
+        self.scale_set: set[int] = set()
+        ud: dict[int, int] = {}
+        for v in order:
+            if v < ns:
+                ud[v] = 0
+                continue
+            d = 1 + max(ud[k] for k in kids_of[v])
+            if d >= k_scale or v == root:
+                self.scale_set.add(v)
+                ud[v] = 0
+            else:
+                ud[v] = d
 
 
 def _plan(topo: Topology) -> _Plan:
@@ -219,8 +253,8 @@ def _onehot_rows(states_row, N, Ht, dtype):
     return (rows == states_row[None, :]).astype(dtype)
 
 
-def _dot(a, b, exact=False):  # [N, N] @ [N, Ht]
-    return mm_dot_general(a, b, (((1,), (0,)), ((), ())), exact)
+def _dot(a, b, exact=False, mode=None):  # [N, N] @ [N, Ht]
+    return mm_dot_general(a, b, (((1,), (0,)), ((), ())), exact, mode)
 
 
 # --- class packing -----------------------------------------------------
@@ -255,7 +289,8 @@ def _blockdiag(blocks):
     return jnp.concatenate(rows, axis=0)
 
 
-def _dot_classes(P_of, s_of, C, N, exact, dims=(((1,), (0,)), ((), ()))):
+def _dot_classes(P_of, s_of, C, N, exact, dims=(((1,), (0,)), ((), ())),
+                 mode=None):
     """stack([P_of(c) @ s_of(c) for c]) with block-diagonal class packing.
 
     dims (((1,),(0,))...) is P @ s; (((0,),(0,))...) is P^T @ s (both are
@@ -263,25 +298,26 @@ def _dot_classes(P_of, s_of, C, N, exact, dims=(((1,), (0,)), ((), ()))):
     block-diagonal)."""
     gs = _class_group(N, C)
     if gs == 1:
-        return jnp.stack([mm_dot_general(P_of(c), s_of(c), dims, exact)
+        return jnp.stack([mm_dot_general(P_of(c), s_of(c), dims, exact,
+                                         mode)
                           for c in range(C)])
     outs = [None] * C
     c = 0
     while c < C:
         g = min(gs, C - c)
         if g == 1:
-            outs[c] = mm_dot_general(P_of(c), s_of(c), dims, exact)
+            outs[c] = mm_dot_general(P_of(c), s_of(c), dims, exact, mode)
         else:
             P2 = _blockdiag([P_of(c + i) for i in range(g)])
             s2 = jnp.concatenate([s_of(c + i) for i in range(g)], axis=0)
-            cv = mm_dot_general(P2, s2, dims, exact)
+            cv = mm_dot_general(P2, s2, dims, exact, mode)
             for i in range(g):
                 outs[c + i] = cv[i * N:(i + 1) * N]
         c += g
     return jnp.stack(outs)
 
 
-def _outer_classes(G_of, s_of, C, N, exact):
+def _outer_classes(G_of, s_of, C, N, exact, mode=None):
     """stack([G_of(c) @ s_of(c)^T for c]) ([N,Ht]x[N,Ht] -> [N,N],
     contraction over patterns) with row-stacked class packing: one
     [g*N, Ht] x [g*N, Ht] -> [g*N, g*N] matmul whose diagonal blocks are
@@ -289,18 +325,19 @@ def _outer_classes(G_of, s_of, C, N, exact):
     gs = _class_group(N, C)
     dims = (((1,), (1,)), ((), ()))
     if gs == 1:
-        return jnp.stack([mm_dot_general(G_of(c), s_of(c), dims, exact)
+        return jnp.stack([mm_dot_general(G_of(c), s_of(c), dims, exact,
+                                         mode)
                           for c in range(C)])
     outs = [None] * C
     c = 0
     while c < C:
         g = min(gs, C - c)
         if g == 1:
-            outs[c] = mm_dot_general(G_of(c), s_of(c), dims, exact)
+            outs[c] = mm_dot_general(G_of(c), s_of(c), dims, exact, mode)
         else:
             G2 = jnp.concatenate([G_of(c + i) for i in range(g)], axis=0)
             s2 = jnp.concatenate([s_of(c + i) for i in range(g)], axis=0)
-            full = mm_dot_general(G2, s2, dims, exact)     # [gN, gN]
+            full = mm_dot_general(G2, s2, dims, exact, mode)  # [gN, gN]
             for i in range(g):
                 outs[c + i] = full[i * N:(i + 1) * N, i * N:(i + 1) * N]
         c += g
@@ -308,7 +345,7 @@ def _outer_classes(G_of, s_of, C, N, exact):
 
 
 def _upward(plan: _Plan, C, N, Ht, read_tip, P_at, cbuf, sbuf=None,
-            exact=False):
+            exact=False, mode=None, scale_set=None):
     """Shared unrolled upward sweep.
 
     read_tip(v) -> [N, Ht] or [C, N, Ht] tip partial; P_at(v, c) -> [N, N].
@@ -316,6 +353,8 @@ def _upward(plan: _Plan, C, N, Ht, read_tip, P_at, cbuf, sbuf=None,
     partials into sbuf.  Returns (s_root [C, N, Ht], logm [C, Ht])."""
     topo = plan.topo
     ns, root = plan.ns, plan.root
+    if scale_set is None:
+        scale_set = plan.scale_set
     logm = jnp.zeros((C, Ht), jnp.float32)
     s_root = None
     for v in plan.order:
@@ -327,10 +366,13 @@ def _upward(plan: _Plan, C, N, Ht, read_tip, P_at, cbuf, sbuf=None,
             prod = cbuf[plan.slot[kids[0]]]
             for k in kids[1:]:
                 prod = prod * cbuf[plan.slot[k]]
-            m = jnp.max(prod, axis=1)                      # [C, Ht]
-            msafe = jnp.where(m > 0, m, 1.0)
-            s = prod / msafe[:, None, :]
-            logm = logm + jnp.log(msafe)
+            if v in scale_set:
+                m = jnp.max(prod, axis=1)                  # [C, Ht]
+                msafe = jnp.where(m > 0, m, 1.0)
+                s = prod / msafe[:, None, :]
+                logm = logm + jnp.log(msafe)
+            else:                    # sparse scaling: pass through
+                s = prod
             shared = False
             if sbuf is not None:
                 sbuf[v - ns] = s
@@ -339,7 +381,7 @@ def _upward(plan: _Plan, C, N, Ht, read_tip, P_at, cbuf, sbuf=None,
             break
         cv = _dot_classes(lambda cc: P_at(v, cc),
                           (lambda cc: s) if shared else (lambda cc: s[cc]),
-                          C, N, exact)
+                          C, N, exact, mode=mode)
         cbuf[plan.slot[v]] = cv
     return s_root, logm
 
@@ -382,7 +424,8 @@ def _bwd_kernel_body(plan: _Plan, C, N, Ht, state_tips, exact,
         return tips_ref[v]
 
     _upward(plan, C, N, Ht, read_tip, lambda v, c: P_ref[v, c],
-            abuf, sbuf=sbuf, exact=exact)  # abuf doubles as cbuf here
+            abuf, sbuf=sbuf, exact=exact, mode=_BWD_MM,
+            scale_set=plan.all_internal)  # abuf doubles as cbuf here
 
     pi = pi_ref[...]
     gbar = gbar_ref[...]
@@ -407,14 +450,9 @@ def _bwd_kernel_body(plan: _Plan, C, N, Ht, state_tips, exact,
             c = _dot_classes(
                 lambda cc: P_ref[k, cc],
                 (lambda cc: s) if shared else (lambda cc: s[cc]),
-                C, N, exact)
+                C, N, exact, mode=_BWD_MM)
             sk.append(s)
             ck.append(c)
-        prod = ck[0]
-        for c in ck[1:]:
-            prod = prod * c
-        m = jnp.max(prod, axis=1)
-        msafe = jnp.where(m > 0, m, 1.0)
         # leave-one-out products over the (static) child list
         pre = [jnp.ones_like(ck[0])]
         for k in range(1, K):
@@ -422,6 +460,11 @@ def _bwd_kernel_body(plan: _Plan, C, N, Ht, state_tips, exact,
         suf = [jnp.ones_like(ck[0])]
         for k in range(K - 2, -1, -1):
             suf.insert(0, suf[0] * ck[k + 1])
+        prod = ck[0]
+        for c in ck[1:]:
+            prod = prod * c
+        m = jnp.max(prod, axis=1)
+        msafe = jnp.where(m > 0, m, 1.0)
         base = Av / msafe[:, None, :]
         for k, kid in enumerate(kids):
             G = base * (pre[k] * suf[k])                    # [C, N, Ht]
@@ -431,12 +474,13 @@ def _bwd_kernel_body(plan: _Plan, C, N, Ht, state_tips, exact,
             dPk = _outer_classes(
                 lambda cc: G[cc],
                 (lambda cc: s) if s.ndim == 2 else (lambda cc: s[cc]),
-                C, N, exact)                                # [C, N, N]
+                C, N, exact, mode=_BWD_MM)                  # [C, N, N]
             dP_ref[kid] += dPk
             if kid >= ns:
                 Ak = _dot_classes(
                     lambda cc: P_ref[kid, cc], lambda cc: G[cc], C, N,
-                    exact, dims=(((0,), (0,)), ((), ())))   # [C, N, Ht]
+                    exact, dims=(((0,), (0,)), ((), ())),
+                    mode=_BWD_MM)                           # [C, N, Ht]
                 abuf[plan.slot[kid]] = Ak
 
 

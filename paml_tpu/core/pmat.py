@@ -18,10 +18,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# full f32 accuracy for the spectral reconstruction einsums: the TPU's
-# default matmul precision is bfloat16, which puts ~1e-3 absolute error
-# into P(t) — far outside likelihood tolerance
-_PREC = jax.lax.Precision.HIGHEST
+# Matmul precision for the P(t) reconstruction einsums.  The TPU's
+# DEFAULT precision is a single bf16 pass (~1e-3 absolute error in P(t)
+# — far outside likelihood tolerance).  HIGH is the 3-pass bf16x3
+# decomposition (f32-faithful to ~2^-22, same as the pruning kernel's
+# "3pass" mode) at half the MXU cost of HIGHEST (6-pass); on CPU both
+# lower to native f32.  PAML_TPU_PMAT_PREC=highest restores 6-pass.
+import os as _os
+
+_PREC = {"high": jax.lax.Precision.HIGH,
+         "highest": jax.lax.Precision.HIGHEST,
+         "default": jax.lax.Precision.DEFAULT}[
+    _os.environ.get("PAML_TPU_PMAT_PREC", "high").lower()]
 
 # ---------------------------------------------------------------------------
 # generic reversible spectral kernel
@@ -115,7 +123,35 @@ def _eigh_refined(S: jnp.ndarray):
 
 _UNIF_K = 24          # series terms: Poisson tail P(X>24 | a0=5) ~ 3e-10
 _UNIF_AMAX = 5.0      # series radius; above this, scale down and square
-_UNIF_NSQ = 6         # max squarings: exact up to q*t = 320, clamped above
+_UNIF_NSQ = 6         # max squarings: exact up to q*t = 512, clamped above
+
+
+_POWS_SEQ = _os.environ.get("PAML_TPU_POWS", "seq") == "seq"
+
+
+def _mat_powers(M, K, prec, seq=True):
+    """[M^0..M^K] stacked on axis -3.  seq=True: the classic K-step
+    sequential chain; seq=False: log-depth batched doubling (one batched
+    matmul per round).  A/B on the v5e bench showed the sequential chain
+    slightly faster at K=24/G=3 (the doubling rounds' growing batches and
+    concats cost more than the launch gaps they remove); the knob stays
+    for other shapes (PAML_TPU_POWS=log)."""
+    n = M.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
+    if seq:
+        pows = [eye, M]
+        for _ in range(2, K + 1):
+            pows.append(jnp.matmul(pows[-1], M, precision=prec))
+        return jnp.stack(pows, axis=-3)
+    pows = jnp.stack([eye, M], axis=-3)             # [..., m, n, n]
+    while pows.shape[-3] < K + 1:
+        m = pows.shape[-3]
+        take = min(m, K + 1 - m)
+        top = pows[..., m - 1, :, :]                # M^(m-1)
+        new = jnp.matmul(pows[..., 1:take + 1, :, :], top[..., None, :, :],
+                         precision=prec)            # M^(m..m-1+take)
+        pows = jnp.concatenate([pows, new], axis=-3)
+    return pows
 
 
 def _pmat_rev_unif(Q: jnp.ndarray, pi: jnp.ndarray, t: jnp.ndarray):
@@ -132,10 +168,7 @@ def _pmat_rev_unif(Q: jnp.ndarray, pi: jnp.ndarray, t: jnp.ndarray):
     M = jnp.eye(n, dtype=Q.dtype) + Qm / q
     a = q * t                                       # [...] batch
     # M^k once (K tiny matmuls), then one weighted sum over k per branch
-    pows = [jnp.eye(n, dtype=Q.dtype), M]
-    for _ in range(2, _UNIF_K + 1):
-        pows.append(jnp.matmul(pows[-1], M, precision=_PREC))
-    Mk = jnp.stack(pows)                            # [K+1, n, n]
+    Mk = _mat_powers(M, _UNIF_K, _PREC, seq=_POWS_SEQ)  # [K+1, n, n]
     # per-branch squaring count s = ceil(log2(a / AMAX)) clamped [0, NSQ];
     # with AMAX = 5 real datasets essentially never need squaring, so the
     # whole squaring loop sits behind a lax.cond and costs nothing unless
@@ -215,10 +248,7 @@ def pmat_rev_multi(Qs: jnp.ndarray, pi: jnp.ndarray,
     q = jnp.maximum(jnp.max(-jnp.diagonal(Qm, axis1=-2, axis2=-1), -1),
                     1e-30)                          # [G]
     M = jnp.eye(n, dtype=Qs.dtype) + Qm / q[:, None, None]
-    pows = [jnp.broadcast_to(jnp.eye(n, dtype=Qs.dtype), (G, n, n)), M]
-    for _ in range(2, _UNIF_K + 1):
-        pows.append(jnp.matmul(pows[-1], M, precision=_PREC))
-    Mk = jnp.stack(pows, axis=1)                    # [G, K+1, n, n]
+    Mk = _mat_powers(M, _UNIF_K, _PREC, seq=_POWS_SEQ)  # [G, K+1, n, n]
     a = q * ts                                      # [..., G]
     s_b = jnp.ceil(jnp.log2(jnp.maximum(a / _UNIF_AMAX, 1.0)))
     s_b = jnp.minimum(s_b, float(_UNIF_NSQ))
