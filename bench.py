@@ -439,6 +439,16 @@ def main():
         "hbm_frac_of_peak": round(big_gbps * 1e9 / HBM_PEAK, 3),
         "padded_mac_frac_of_peak": round(
             3 * big_fwd_macs / bdt / PEAK_BF16, 3),
+        # r5 measurement note: the kernel is NOT HBM-traffic-bound (the
+        # r4 S-checkpoint hypothesis): halving S traffic via cherry
+        # recompute, deepening DMA rings, and binary-tree VPU
+        # specialization each moved <2%; doubling the pattern tile
+        # (Ht 512 -> 1024, halving step count) moved ~2%, so the cost
+        # scales with per-step [C, N, Ht] VMEM/VPU work in the serial
+        # postorder walk, not with fixed per-step overhead or HBM bytes.
+        # bf16 adjoint matmuls (-12%) was the one real lever; fwd-only
+        # (81 ms) x ~2.5 adjoint multiplier is this design's floor.
+        "bound_by": "serial per-node VMEM/VPU work (see note)",
     }
 
     # on-chip convergence: whole abglobin M0 fit on the TPU via the
