@@ -1710,6 +1710,12 @@ def summarize(samples: list[dict]) -> dict:
 def main(argv):
     from ..io import ctl as ctlmod
     if argv and argv[0] == "--combine":
+        import os
+        if len(argv) == 2 and os.path.isdir(argv[1]):
+            # reference form: mcmctree --combine <directory>
+            from .mcmcutils import combine_mcmc_dir
+            combine_mcmc_dir(argv[1])
+            return
         from .mcmcutils import combine_mcmc
         out = argv[1]
         n = combine_mcmc(argv[2:], out)

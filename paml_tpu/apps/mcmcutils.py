@@ -60,32 +60,59 @@ def write_mcmc_txt(samples: list[dict], path: str) -> None:
                     + "\t".join(f"{s[k]:.6f}" for k in keys) + "\n")
 
 
-def read_mcmc_txt(path: str):
+def read_mcmc_txt(path: str, skip_malformed: bool = False):
+    """Parse an mcmc.txt sample table.  skip_malformed=True applies the
+    reference --combine semantics (mcmctree.c CombineMCMCFiles): blank
+    lines and incomplete rows (e.g. a truncated last line after a crash)
+    are skipped, not fatal; returns (header, rows, n_empty, n_bad)."""
+    n_empty = n_bad = 0
     with open(path) as f:
         header = f.readline().split()
         rows = []
         for ln, line in enumerate(f):
             vals = line.split()
-            if len(vals) != len(header):
-                raise ValueError(f"{path}: malformed line {ln + 2} "
-                                 f"({len(vals)} fields, expected "
-                                 f"{len(header)})")
-            rows.append([float(v) for v in vals])
+            if not vals:
+                n_empty += 1
+                continue
+            ok = len(vals) == len(header)
+            if ok:
+                try:
+                    rows.append([float(v) for v in vals])
+                    continue
+                except ValueError:
+                    ok = False
+            if skip_malformed:
+                n_bad += 1
+                continue
+            raise ValueError(f"{path}: malformed line {ln + 2} "
+                             f"({len(vals)} fields, expected "
+                             f"{len(header)})")
+    if skip_malformed:
+        return header, np.array(rows), n_empty, n_bad
     return header, np.array(rows)
 
 
-def combine_mcmc(paths: list[str], out: str) -> int:
+def combine_mcmc(paths: list[str], out: str, verbose: bool = False) -> int:
     """Concatenate compatible mcmc.txt sample files (chain merging after
-    independent runs).  Rejects files with mismatched headers or malformed
-    rows, like the reference."""
+    independent runs; reference: CombineMCMCFiles, src/mcmctree.c:397).
+    Blank and incomplete lines are skipped with a count; a header
+    mismatch aborts (the reference's 'Header mismatch detected!')."""
     header0 = None
     all_rows = []
-    for p in paths:
-        header, rows = read_mcmc_txt(p)
+    for i, p in enumerate(paths):
+        header, rows, n_empty, n_bad = read_mcmc_txt(p, skip_malformed=True)
         if header0 is None:
             header0 = header
         elif header != header0:
-            raise ValueError(f"{p}: header mismatch")
+            raise ValueError(
+                f"Header mismatch detected!\nFile 1 has {len(header0)} "
+                f"columns\nFile {i + 1} has {len(header)} columns\n"
+                f"File {i + 1}: {p}\nAll files must have the same header "
+                f"structure.")
+        if verbose:
+            print(f"Processing file {i + 1}/{len(paths)}: {p}")
+            print(f"  Lines kept = {len(rows)} | Empty lines skipped = "
+                  f"{n_empty} | Incomplete lines skipped = {n_bad}")
         all_rows.append(rows)
     merged = np.concatenate(all_rows, axis=0)
     with open(out, "w") as f:
@@ -96,6 +123,35 @@ def combine_mcmc(paths: list[str], out: str) -> int:
             f.write("\t".join(f"{v:.6f}" if k else str(int(v))
                               for k, v in enumerate(r)) + "\n")
     return merged.shape[0]
+
+
+def _natural_key(name: str):
+    """Reference --combine filename ordering: digit runs compare
+    numerically ('mcmc_3.txt' before 'mcmc_21.txt')."""
+    import re
+    return [int(t) if t.isdigit() else t
+            for t in re.split(r"(\d+)", name)]
+
+
+def combine_mcmc_dir(directory: str,
+                     out: str = "mcmc_combined.txt") -> int:
+    """`mcmctree --combine <dir>`: combine every *.txt sample file in a
+    directory, sorted alphanumerically with numeric-aware digit runs
+    (reference: CombineMCMCFiles_CommandLine, src/mcmctree.c:397)."""
+    import os
+    files = sorted((f for f in os.listdir(directory)
+                    if f.endswith(".txt")), key=_natural_key)
+    if not files:
+        raise ValueError(f"no .txt MCMC files found in {directory!r}")
+    paths = [os.path.join(directory, f) for f in files]
+    print(f"Scanning directory: {directory}")
+    print(f"Found {len(paths)} files to combine:")
+    for i, p in enumerate(paths):
+        print(f"  {i + 1}. {p}")
+    n = combine_mcmc(paths, out, verbose=True)
+    print(f"\nSuccessfully combined {n} lines from {len(paths)} files")
+    print(f"Output written to: {out}")
+    return n
 
 
 # --- ds: descriptive statistics -------------------------------------------

@@ -22,11 +22,18 @@ def test_combine_and_ds(tmp_path):
     stats = mcmcutils.describe_file(out)
     assert abs(stats["t_n8"]["mean"] - 0.15) < 0.005
     assert stats["mu1"]["hpd_lo"] < 0.5 < stats["mu1"]["hpd_hi"]
-    # malformed file rejected
+    # incomplete lines are SKIPPED with a count (reference --combine
+    # semantics, src/mcmctree.c CombineMCMCFiles NOTE 2); header
+    # mismatches abort
     bad = tmp_path / "bad.txt"
     bad.write_text("Gen\tt\n1\t0.1\n2\n")
-    with pytest.raises(ValueError):
-        mcmcutils.combine_mcmc([str(bad)], str(tmp_path / "x.txt"))
+    n = mcmcutils.combine_mcmc([str(bad)], str(tmp_path / "x.txt"))
+    assert n == 1
+    other = tmp_path / "other.txt"
+    other.write_text("Gen\tt\tmu\n1\t0.1\t0.2\n")
+    with pytest.raises(ValueError, match="Header mismatch"):
+        mcmcutils.combine_mcmc([str(bad), str(other)],
+                               str(tmp_path / "y.txt"))
 
 
 def test_checkpoint_roundtrip(tmp_path):
