@@ -30,24 +30,56 @@ REFBIN = "/tmp/pamlbuild/src"
 
 def _setup_jax():
     import jax
-    # wall-time comparison vs the single-threaded C reference is run on
-    # the host CPU (x64); bench.py covers the TPU chip numbers
-    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    cache = os.path.expanduser("~/.cache/paml_tpu_jax")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def _ours_baseml(model, seqfile, treefile, **kw):
+def _cpu():
+    import jax
+    return jax.default_device(jax.devices("cpu")[0])
+
+
+def _tpu_present():
+    import jax
+    try:
+        return any(d.platform != "cpu" for d in jax.devices())
+    except RuntimeError:
+        return False
+
+
+def _ours_baseml(model, seqfile, treefile, device="cpu", **kw):
+    """device='cpu': classic all-f64 on the host (comparable to the C
+    reference).  device='tpu': the production staged policy — f32
+    value+grad on the chip, f64 polish on the host (optim.maximize_policy)."""
     _setup_jax()
+    import jax
+    import jax.numpy as jnp
     from paml_tpu.apps import baseml
     t0 = time.perf_counter()
     spec = baseml.BasemlSpec(model=model, cleandata=True, **kw)
-    res = baseml.fit(f"{REF}/{seqfile}", f"{REF}/{treefile}", spec)
+    if device == "tpu":
+        res = baseml.fit(f"{REF}/{seqfile}", f"{REF}/{treefile}", spec)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()   # warm: persistent compile cache hit
+        res = baseml.fit(f"{REF}/{seqfile}", f"{REF}/{treefile}", spec)
+        return dict(wall_s=round(time.perf_counter() - t0, 2),
+                    wall_cold_s=round(cold, 2),
+                    lnL=round(res.lnL, 6), n_eval=res.fit.n_eval)
+    else:
+        with _cpu():
+            res = baseml.fit(f"{REF}/{seqfile}", f"{REF}/{treefile}",
+                             spec, dtype=jnp.float64)
     return dict(wall_s=round(time.perf_counter() - t0, 2),
                 lnL=round(res.lnL, 6), n_eval=res.fit.n_eval)
 
 
-def _ours_codeml(seqfile, treefile, tree_index=0, **kw):
+def _ours_codeml(seqfile, treefile, tree_index=0, device="cpu", **kw):
     _setup_jax()
+    import jax
+    import jax.numpy as jnp
     from paml_tpu.apps import codeml
     from paml_tpu.core.topology import from_treenode
     from paml_tpu.io import seqio, treeio
@@ -57,7 +89,18 @@ def _ours_codeml(seqfile, treefile, tree_index=0, **kw):
     trees = treeio.read_trees(f"{REF}/{treefile}", data.names)
     topo = from_treenode(trees[tree_index], data.names)
     spec = codeml.CodemlSpec(cleandata=True, **kw)
-    res = codeml.fit_packed(data, topo, spec)
+    if device == "tpu":
+        res = codeml.fit_packed(data, topo, spec)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()   # warm: persistent compile cache hit
+        res = codeml.fit_packed(data, topo, spec)
+        return dict(wall_s=round(time.perf_counter() - t0, 2),
+                    wall_cold_s=round(cold, 2),
+                    lnL=round(res.lnL, 6), n_eval=res.fit.n_eval)
+    else:
+        with _cpu():
+            res = codeml.fit_packed(data, topo, spec,
+                                    dtype=jnp.float64)
     return dict(wall_s=round(time.perf_counter() - t0, 2),
                 lnL=round(res.lnL, 6), n_eval=res.fit.n_eval)
 
@@ -145,9 +188,14 @@ def main():
     with_ref = "--no-reference" not in sys.argv
     out = {}
 
+    tpu = _tpu_present()
+
     # 1. brown JC69 + K80
     for m, mi in (("JC69", 0), ("K80", 1)):
         row = {"ours": _ours_baseml(m, "brown.nuc", "brown.trees")}
+        if tpu:
+            row["ours_tpu"] = _ours_baseml(m, "brown.nuc", "brown.trees",
+                                           device="tpu")
         if with_ref:
             row["reference"] = _ref_run("baseml", BASEML_CTL.format(
                 seq=f"{REF}/brown.nuc", tree=f"{REF}/brown.trees",
@@ -158,6 +206,10 @@ def main():
     # 2. horai GTR + G5
     row = {"ours": _ours_baseml("REV", "horai.nuc", "horai.trees",
                                 fix_alpha=False, alpha=0.5, ncatG=5)}
+    if tpu:
+        row["ours_tpu"] = _ours_baseml("REV", "horai.nuc", "horai.trees",
+                                       fix_alpha=False, alpha=0.5,
+                                       ncatG=5, device="tpu")
     if with_ref:
         row["reference"] = _ref_run("baseml", BASEML_CTL.format(
             seq=f"{REF}/horai.nuc", tree=f"{REF}/horai.trees",
@@ -167,6 +219,9 @@ def main():
 
     # 3. abglobin codon M0
     row = {"ours": _ours_codeml("abglobin.nuc", "abglobin.trees")}
+    if tpu:
+        row["ours_tpu"] = _ours_codeml("abglobin.nuc", "abglobin.trees",
+                                       device="tpu")
     if with_ref:
         row["reference"] = _ref_run("codeml", CODEML_CTL.format(
             seq=f"{REF}/abglobin.nuc", tree=f"{REF}/abglobin.trees",
@@ -180,6 +235,11 @@ def main():
         row = {"ours": _ours_codeml("lysozyme/lysozymeSmall.txt",
                                     "lysozyme/lysozymeSmall.trees",
                                     NSsites=ns, ncatG=ncatg, omega=0.5)}
+        if tpu:
+            row["ours_tpu"] = _ours_codeml(
+                "lysozyme/lysozymeSmall.txt",
+                "lysozyme/lysozymeSmall.trees",
+                NSsites=ns, ncatG=ncatg, omega=0.5, device="tpu")
         if with_ref:
             row["reference"] = _ref_run("codeml", CODEML_CTL.format(
                 seq=f"{REF}/lysozyme/lysozymeSmall.txt",
@@ -191,6 +251,10 @@ def main():
                                 "lysozyme/lysozymeSmall.trees",
                                 tree_index=1, model=2, NSsites=2,
                                 omega=1.5)}
+    if tpu:
+        row["ours_tpu"] = _ours_codeml(
+            "lysozyme/lysozymeSmall.txt", "lysozyme/lysozymeSmall.trees",
+            tree_index=1, model=2, NSsites=2, omega=1.5, device="tpu")
     if with_ref:
         # the reference needs a tree file holding only the labeled tree
         from paml_tpu.io import treeio as _tio
@@ -239,6 +303,47 @@ def main():
             "ours": dict(wall_s=round(wall, 2),
                          iterations=its,
                          it_per_s=round(its / wall, 2))}
+        if with_ref and os.path.exists(f"{REFBIN}/mcmctree"):
+            # reference comparison (VERDICT r4 item 10): usedata=3 run
+            # generates out.BV (its own per-locus baseml fits), then a
+            # timed usedata=2 chain with the same burnin/sampfreq/nsample
+            rd = os.path.join(d, "refrun")
+            os.makedirs(rd, exist_ok=True)
+            rtext = (open(f"{src}/mcmctree.ctl").read()
+                     .replace("= mtCDNApri123.txt",
+                              f"= {src}/mtCDNApri123.txt")
+                     .replace("= mtCDNApri.trees",
+                              f"= {src}/mtCDNApri.trees"))
+            import re as _re
+            rtext = _re.sub(r"usedata\s*=\s*\d", "usedata = 3", rtext)
+            open(f"{rd}/run.ctl", "w").write(rtext)
+            try:
+                subprocess.run([f"{REFBIN}/mcmctree", "run.ctl"], cwd=rd,
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL, timeout=1800,
+                               check=True)
+                shutil.copy(f"{rd}/out.BV", f"{rd}/in.BV")
+                rtext2 = _re.sub(r"usedata\s*=\s*\d", "usedata = 2",
+                                 rtext)
+                rtext2 = _re.sub(r"burnin\s*=\s*\d+", "burnin = 500",
+                                 rtext2)
+                rtext2 = _re.sub(r"sampfreq\s*=\s*\d+", "sampfreq = 2",
+                                 rtext2)
+                rtext2 = _re.sub(r"nsample\s*=\s*\d+",
+                                 "nsample = 2000", rtext2)
+                open(f"{rd}/run.ctl", "w").write(rtext2)
+                t0 = time.perf_counter()
+                subprocess.run([f"{REFBIN}/mcmctree", "run.ctl"], cwd=rd,
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL, timeout=3600,
+                               check=True)
+                rwall = time.perf_counter() - t0
+                out["mcmctree_approx_DatingSoftBound"]["reference"] = \
+                    dict(wall_s=round(rwall, 2), iterations=its,
+                         it_per_s=round(its / rwall, 2))
+            except Exception as e:
+                out["mcmctree_approx_DatingSoftBound"]["reference"] = \
+                    dict(error=str(e)[:200])
         print("mcmctree approx DatingSoftBound:",
               out["mcmctree_approx_DatingSoftBound"], flush=True)
 
@@ -272,6 +377,11 @@ def main():
                                 "MouseLemurs/MouseLemurs.trees",
                                 clock=3, fix_alpha=False, alpha=0.5,
                                 ncatG=5, kappa=2.3)}
+    if tpu:
+        row["ours_tpu"] = _ours_baseml(
+            "F84", "MouseLemurs/MouseLemurs.nuc",
+            "MouseLemurs/MouseLemurs.trees", clock=3, fix_alpha=False,
+            alpha=0.5, ncatG=5, kappa=2.3, device="tpu")
     if with_ref:
         row["reference"] = _ref_run("baseml", BASEML_CTL.format(
             seq=f"{REF}/MouseLemurs/MouseLemurs.nuc",
@@ -313,7 +423,7 @@ def _vdev_scaling():
     spec = codeml.CodemlSpec(cleandata=True, NSsites=3, ncatG=3)
     neg, *_rest = codeml.make_codon_objective(data, topo, spec)
     x = jnp.asarray(_rest[2])
-    devs = jax.devices()
+    devs = jax.devices("cpu")
     rows = {}
     for nd in (1, 2, 4, 8):
         if len(devs) < nd:

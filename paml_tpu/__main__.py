@@ -748,6 +748,17 @@ def _init_jax_backend(want_accel: bool = False) -> None:
 
     import jax
 
+    # persistent compilation cache: repeat invocations of the same
+    # model/shape skip XLA compilation entirely (the reference C's main
+    # wall-time edge on small datasets is our compile time)
+    cache = os.environ.get("PAML_TPU_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/paml_tpu_jax"))
+    if cache and cache != "0":
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+
     dev = os.environ.get("PAML_TPU_CLI_DEVICE", "auto").lower()
     use_accel = (dev == "tpu") or (dev == "auto" and want_accel)
     if not use_accel:
