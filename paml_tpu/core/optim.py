@@ -73,6 +73,15 @@ def maximize(neg_fn: Callable, x0: np.ndarray,
         if not np.isfinite(v):
             v = 1e100
             g = np.where(np.isfinite(g), g, 0.0)
+        elif not np.all(np.isfinite(g)):
+            # a non-finite gradient at a FINITE value poisons L-BFGS-B's
+            # line search: dcsrch's cubic interpolation on a NaN
+            # directional derivative returns a zero step and the solver
+            # reports bogus ftol convergence at x0 (observed: horai
+            # REV+G5 f32-on-TPU, alpha gradient NaN at an extreme GTR
+            # trial point).  Keep the finite value but zero the bad
+            # components so interpolation stays sane.
+            g = np.where(np.isfinite(g), g, 0.0)
         if rub is not None:
             rub.write(f"{n_eval[0]:6d} {-v:16.6f} "
                       f"{float(np.abs(g).max()):12.5g}\n")

@@ -516,6 +516,14 @@ def _pad_inputs(P, tips, pi, topo, Ht):
 
 
 def _fwd_call(P, tips, pi, topo: Topology, Ht: int, interpret=False):
+    with jax.enable_x64(False):
+        return _fwd_call_x32(P, tips, pi, topo, Ht, interpret)
+
+
+def _fwd_call_x32(P, tips, pi, topo: Topology, Ht: int, interpret=False):
+    # NOTE: traced with x64 scoped OFF — under jax_enable_x64 (the f64
+    # host stages need it) Python-int literals inside the kernel body
+    # otherwise become i64 scalars, which Mosaic refuses to legalize
     plan = _plan(topo)
     Pp, tp, pip, n, N, H, Hp, state_tips = _pad_inputs(P, tips, pi, topo, Ht)
     C = P.shape[1]
@@ -542,6 +550,12 @@ def _fwd_call(P, tips, pi, topo: Topology, Ht: int, interpret=False):
 
 
 def _bwd_call(P, tips, pi, gbar, topo: Topology, Ht: int, interpret=False):
+    with jax.enable_x64(False):
+        return _bwd_call_x32(P, tips, pi, gbar, topo, Ht, interpret)
+
+
+def _bwd_call_x32(P, tips, pi, gbar, topo: Topology, Ht: int,
+                  interpret=False):
     plan = _plan(topo)
     Pp, tp, pip, n, N, H, Hp, state_tips = _pad_inputs(P, tips, pi, topo, Ht)
     C = P.shape[1]

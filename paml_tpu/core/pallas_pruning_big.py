@@ -504,7 +504,15 @@ def _grids(topo, P, tips, pi, Ht):
     return Pp, tp, pip, n, NJ, N, C, H, Hp
 
 
-def _fwd_big_call(P, tips, pi, topo: Topology, Ht, want_S, interpret=False):
+def _fwd_big_call(P, tips, pi, topo: Topology, Ht, want_S,
+                  interpret=False):
+    with jax.enable_x64(False):   # Mosaic rejects i64 scalars (see
+        return _fwd_big_call_x32(  # pallas_pruning._fwd_call note)
+            P, tips, pi, topo, Ht, want_S, interpret)
+
+
+def _fwd_big_call_x32(P, tips, pi, topo: Topology, Ht, want_S,
+                      interpret=False):
     from .pallas_pruning import _params
     fs, _, Kmax, n_srows, _af = _sched_arrays(topo)
     Pp, tp, pip, n, NJ, N, C, H, Hp = _grids(topo, P, tips, pi, Ht)
@@ -550,6 +558,13 @@ def _fwd_big_call(P, tips, pi, topo: Topology, Ht, want_S, interpret=False):
 
 def _bwd_big_call(P, tips, pi, gbar, S, topo: Topology, Ht,
                   interpret=False):
+    with jax.enable_x64(False):
+        return _bwd_big_call_x32(P, tips, pi, gbar, S, topo, Ht,
+                                 interpret)
+
+
+def _bwd_big_call_x32(P, tips, pi, gbar, S, topo: Topology, Ht,
+                      interpret=False):
     from .pallas_pruning import _params
     _, bs, Kmax, n_srows, all_full = _sched_arrays(topo)
     Pp, tp, pip, n, NJ, N, C, H, Hp = _grids(topo, P, tips, pi, Ht)
