@@ -799,9 +799,22 @@ def make_aadist_objective(data: seqio.PackedData, topo: Topology,
     nonsyn = jnp.asarray(~graph.is_syn)
     ad = spec.aaDist
     if ad in (11, 12):                      # FIT1 / FIT2
+        if B > 1:
+            raise NotImplementedError(
+                "FIT1/FIT2 with branch types is not supported (the "
+                "fitness models tilt the equilibrium frequencies, which "
+                "cannot differ per branch under one reversible chain)")
         n_pom = (4 + (ad == 12)) * B
         chem_p = jnp.asarray(AACHEM_P)
         chem_v = jnp.asarray(AACHEM_V)
+        # fitness models tilt the equilibrium frequencies too
+        # (reference: getpcodonClass, src/codeml.c:2049-2086:
+        #  pi_fit(i) = pi0(i)/paa0(aa_i) * paaClass(aa_i),
+        #  paaClass ∝ exp(2*fit))
+        aa_of = jnp.asarray(graph.aa)
+        paa0_np = np.zeros(20)
+        np.add.at(paa0_np, graph.aa, pi_np)
+        paa0 = jnp.asarray(np.maximum(paa0_np, 1e-300))
     elif ad == 7:                           # AAClasses
         text = spec.omegaAA or ""
         if text and "\n" not in text and len(text) < 4096:
@@ -848,19 +861,29 @@ def make_aadist_objective(data: seqio.PackedData, topo: Topology,
         t, kappa, pom = unpack(x)
         s = codonmod.mutation_part(graph, kappa if spec.hkyREV else kappa[0],
                                    pf3x4, spec.hkyREV, dtype)
+        if ad in (11, 12):
+            # fitness-tilted equilibrium frequencies (getpcodonClass)
+            fit_aa = (-pom[0][0] * (chem_p - pom[0][1]) ** 2
+                      - pom[0][2] * (chem_v - pom[0][3]) ** 2)
+            paaC = jnp.exp(2.0 * fit_aa)
+            paaC = paaC / jnp.sum(paaC)
+            pi_use = pi / paa0[aa_of] * paaC[aa_of]
+        else:
+            pi_use = pi
         Qs, scales = [], []
         for b in range(B):
             w_pair = w_pair_of(pom[b])
-            Qs.append(codonmod.build_Q_pair(graph, s, w_pair, pi))
-            scales.append(1.0 / codonmod.mean_rate_pair(graph, s, w_pair, pi))
+            Qs.append(codonmod.build_Q_pair(graph, s, w_pair, pi_use))
+            scales.append(1.0 / codonmod.mean_rate_pair(graph, s, w_pair,
+                                                        pi_use))
         Qs = jnp.stack(Qs)
         scales = jnp.stack(scales)
         tfull = jnp.zeros((nnode,), dtype).at[bn].set(t)
         ts = tfull[:, None] * scales[None, :]               # [nnode, B]
         P_all = pmat_rev_multi(
-            Qs, pi, ts)                                     # [nnode, B, n, n]
+            Qs, pi_use, ts)                                 # [nnode, B, n, n]
         P = _select_branch_type(P_all[:, :, None], btype, B)  # [nnode,1,n,n]
-        piC = pi[None, :]
+        piC = pi_use[None, :]
         return -pruning.lnL(P, tips, topo, piC, jnp.ones((1,), dtype), fpatt)
 
     t0 = np.clip(topo.blen0[branch_nodes], 0.0, BLEN_MAX)
