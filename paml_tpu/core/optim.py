@@ -156,7 +156,7 @@ def maximize_policy(make_obj: Callable, multi_start=None,
     neg32, x0, bounds = make_obj(jnp.float32)
     res1 = maximize(neg32, x0, bounds, maxiter=maxiter,
                     multi_start=multi_start, _stage_dtype=jnp.float32,
-                    _ftol=1e-9, _gtol=1e-4, _restarts=2,
+                    _ftol=1e-10, _gtol=1e-5, _restarts=4,
                     _return_all=True)
     # polish the top stage-1 basins in f64 on the host: f32 can rank
     # near-tied basins of a ridged surface (branch-site A, NSsites
