@@ -66,7 +66,7 @@ def lysin_packed():
     from paml_tpu.io import seqio, treeio
     LY = conftest.ref_path("examples", "lysin")
     aln = seqio.read_alignment(f"{LY}/lysin.nuc", seqio.CODON_SEQ)
-    data = seqio.pack(aln, cleandata=True, icode=0)
+    data = seqio.pack(aln, cleandata=False, icode=0)   # reference ctl: 0
     trees = treeio.read_trees(f"{LY}/lysin.trees", data.names)
     topo = from_treenode(trees[0], data.names)
     return data, topo
@@ -83,7 +83,7 @@ def test_lysin_nssites_battery(lysin_packed, name, row):
     from paml_tpu.apps import codeml
     data, topo = lysin_packed
     spec = codeml.CodemlSpec(seqtype=1, model=0, NSsites=row["NSsites"],
-                             codonf="F3x4", cleandata=True,
+                             codonf="F3x4", cleandata=False,
                              kappa=1.6, omega=0.8, ncatG=row["ncatG"])
     res = codeml.fit_packed(data, topo, spec)
     # at or above the reference optimum, never appreciably below
