@@ -70,6 +70,8 @@ class CodemlSpec:
     getSE: bool = False
     aa_model: str = "Empirical_F"   # for seqtype=2
     aa_rate_file: str | None = None
+    tipdate: bool = False        # dated tips (names end in _YYYY): clock
+    tipdate_timeunit: float | None = None   # with absolute ages + rate
 
 
 @dataclass
@@ -422,8 +424,15 @@ def make_codon_objective(data: seqio.PackedData, topo: Topology,
     # src/treesub.c:3770; '@' fossils give absolute rates)
     if spec.clock >= 1:
         from ..core.clockparam import make_clock_times
+        tip_ages = None
+        if spec.tipdate:
+            # dated tips (reference: GetTipDate, src/treesub.c:3552):
+            # ages from sequence-name suffixes; absolute-rate clock
+            ta, _tu, _young = treeio.parse_tip_dates(
+                data.names, spec.tipdate_timeunit)
+            tip_ages = ta
         clock_fn, n_time, xt0, tbounds, _cinfo = make_clock_times(
-            topo, spec.clock)
+            topo, spec.clock, tip_ages)
     elif spec.fix_blength == 2:
         n_time = 0               # branch lengths fixed at the tree's values
     else:

@@ -335,8 +335,10 @@ def codeml_spec(opts: dict, ctl_path: str):
     }
     g("aaRatefile")   # FromCodon/Empirical rate file (consumed above or n/a)
     g("seqfile"), g("treefile"), g("outfile")
-    g.require_off("TipDate", "tip-date (serial-sample) dating in codeml "
-                  "(use baseml or mcmctree)")
+    td = str(g("TipDate", "0")).split()
+    if td and int(float(td[0])):
+        spec.tipdate = True
+        spec.tipdate_timeunit = float(td[1]) if len(td) > 1 else None
     g.require_off("NShmm", "the experimental NShmm site-class HMM")
     g.require_off("Malpha", "per-gene alpha values in codeml")
     g.require_off("fix_rho", "auto-discrete-gamma rates in codeml",
