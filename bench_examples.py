@@ -288,13 +288,15 @@ def main():
         cwd = os.getcwd()
         os.chdir(d)
         try:
+            import jax as _jax
             opts = ctlmod.read_ctl(ctl)
             opts["usedata"] = "2"
             opts["burnin"] = "500"
             opts["nsample"] = "2000"
             opts["sampfreq"] = "2"
             t0 = time.perf_counter()
-            run_ctl(opts, ctl, progress=False)
+            with _jax.default_device(_jax.devices("cpu")[0]):
+                run_ctl(opts, ctl, progress=False)
             wall = time.perf_counter() - t0
         finally:
             os.chdir(cwd)
@@ -317,11 +319,13 @@ def main():
             import re as _re
             rtext = _re.sub(r"usedata\s*=\s*\d", "usedata = 3", rtext)
             open(f"{rd}/run.ctl", "w").write(rtext)
+            env = dict(os.environ,
+                       PATH=f"{REFBIN}:" + os.environ.get("PATH", ""))
             try:
                 subprocess.run([f"{REFBIN}/mcmctree", "run.ctl"], cwd=rd,
                                stdout=subprocess.DEVNULL,
                                stderr=subprocess.DEVNULL, timeout=1800,
-                               check=True)
+                               check=True, env=env)
                 shutil.copy(f"{rd}/out.BV", f"{rd}/in.BV")
                 rtext2 = _re.sub(r"usedata\s*=\s*\d", "usedata = 2",
                                  rtext)
@@ -336,7 +340,7 @@ def main():
                 subprocess.run([f"{REFBIN}/mcmctree", "run.ctl"], cwd=rd,
                                stdout=subprocess.DEVNULL,
                                stderr=subprocess.DEVNULL, timeout=3600,
-                               check=True)
+                               check=True, env=env)
                 rwall = time.perf_counter() - t0
                 out["mcmctree_approx_DatingSoftBound"]["reference"] = \
                     dict(wall_s=round(rwall, 2), iterations=its,

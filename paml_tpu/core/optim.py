@@ -61,6 +61,7 @@ def maximize(neg_fn: Callable, x0: np.ndarray,
 
     vg = jax.jit(jax.value_and_grad(neg_fn))
     n_eval = [0]
+    vworst = [None]     # worst finite value seen (penalty anchor)
     rub = open(_RUB_PATH, "a") if _RUB_PATH else None
 
     def fun(x):
@@ -71,17 +72,25 @@ def maximize(neg_fn: Callable, x0: np.ndarray,
         v = float(v)
         g = np.asarray(g, dtype=np.float64)
         if not np.isfinite(v):
-            v = 1e100
+            # Non-finite value at a line-search trial (e.g. f32 overflow
+            # at a rate near its 999 bound).  A huge sentinel like 1e100
+            # makes dcsrch's interpolation step underflow to ZERO and the
+            # solver reports bogus ftol convergence at the start point
+            # (observed: MouseLemurs clock 3 f32-on-TPU).  Use a
+            # moderate penalty anchored at the worst finite value seen,
+            # so interpolation backtracks like an ordinary bad trial.
+            anchor = vworst[0] if vworst[0] is not None else 1e8
+            v = abs(anchor) * 1.5 + 1e3
             g = np.where(np.isfinite(g), g, 0.0)
         elif not np.all(np.isfinite(g)):
-            # a non-finite gradient at a FINITE value poisons L-BFGS-B's
-            # line search: dcsrch's cubic interpolation on a NaN
-            # directional derivative returns a zero step and the solver
-            # reports bogus ftol convergence at x0 (observed: horai
-            # REV+G5 f32-on-TPU, alpha gradient NaN at an extreme GTR
-            # trial point).  Keep the finite value but zero the bad
-            # components so interpolation stays sane.
+            # a non-finite gradient at a FINITE value also poisons the
+            # line search (NaN directional derivative; observed: horai
+            # REV+G5 f32-on-TPU).  Keep the value, zero the bad
+            # components.
+            vworst[0] = v if vworst[0] is None else max(vworst[0], v)
             g = np.where(np.isfinite(g), g, 0.0)
+        else:
+            vworst[0] = v if vworst[0] is None else max(vworst[0], v)
         if rub is not None:
             rub.write(f"{n_eval[0]:6d} {-v:16.6f} "
                       f"{float(np.abs(g).max()):12.5g}\n")
@@ -130,8 +139,13 @@ def maximize(neg_fn: Callable, x0: np.ndarray,
 
 
 def _accelerator_default() -> bool:
-    """True when the session's default JAX backend is an accelerator."""
+    """True when the session's default JAX device is an accelerator.
+    Respects `with jax.default_device(...)` so callers can force the
+    classic CPU path for a scope."""
     try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", "cpu") not in ("cpu",)
         return jax.default_backend() not in ("cpu",)
     except Exception:
         return False
@@ -171,6 +185,14 @@ def maximize_policy(make_obj: Callable, multi_start=None,
             r = maximize(neg64, r1.x, bounds, tol=tol, maxiter=maxiter)
             if best is None or r.lnL > best.lnL:
                 best = r
+        # sanity net: a fit that cannot beat its own starting point is
+        # broken (e.g. the f32 stage line-searched into a bound trap the
+        # f64 polish cannot leave — observed on MouseLemurs clock 3).
+        # Fall back to the classic all-f64 fit from the original start.
+        lnl_x0 = -float(jax.jit(neg64)(jnp.asarray(x0, jnp.float64)))
+        if not np.isfinite(best.lnL) or best.lnL < lnl_x0 + 1e-9:
+            best = maximize(neg64, x0, bounds, tol=tol, maxiter=maxiter,
+                            multi_start=multi_start)
     best.n_eval += res1[0].n_eval
     return best
 
